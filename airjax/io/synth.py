@@ -1,0 +1,136 @@
+"""Synthetic IQ generation: modulate known frames into 2 MS/s sample streams.
+
+The reference has no synthetic path at all — its only end-to-end test is a
+git-ignored real capture. This generator closes that gap (SURVEY.md §4): it
+builds valid DF17 frames (correct CRC), PPM-modulates them at 2 samples/bit
+with the Mode S preamble, embeds them at chosen offsets in a noise floor,
+and quantizes to int16 IQ — so the whole pipeline is testable without
+hardware, at controlled SNR.
+
+Modulation matches what the detector/slicer expect:
+  preamble: pulses at half-us samples {0,2,7,9} of 16 (demod.rs:23-24)
+  bit 1 -> (pulse, gap), bit 0 -> (gap, pulse)  [falling edge = 1]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from airjax.protocol.crc import crc24
+
+PREAMBLE_PULSES = (0, 2, 7, 9)
+PREAMBLE_LEN = 16
+FRAME_BITS = 112
+FRAME_SAMPLES = 224
+WINDOW = PREAMBLE_LEN + FRAME_SAMPLES
+
+_CHAR_CONVERT = (
+    "#ABCDEFGHIJKLMNOPQRSTUVWXYZ#####_###############0123456789######"
+)
+
+
+def make_df17(icao: int, me: bytes, capability: int = 5) -> bytes:
+    """Assemble a 14-byte DF17 frame with a valid CRC-24."""
+    if len(me) != 7:
+        raise ValueError("ME field must be 7 bytes")
+    body = bytes([(17 << 3) | capability, (icao >> 16) & 0xFF, (icao >> 8) & 0xFF, icao & 0xFF]) + me
+    crc = crc24(body)
+    return body + bytes([(crc >> 16) & 0xFF, (crc >> 8) & 0xFF, crc & 0xFF])
+
+
+def make_id_me(callsign: str, tc: int = 4, category: int = 0) -> bytes:
+    """Build an AircraftID ME field from an 8-char callsign."""
+    cs = callsign.ljust(8, "_")[:8]
+    codes = []
+    for ch in cs:
+        idx = _CHAR_CONVERT.find(ch)
+        if idx < 0:
+            raise ValueError(f"character {ch!r} not encodable")
+        codes.append(idx)
+    bits48 = 0
+    for c in codes:
+        bits48 = (bits48 << 6) | c
+    payload = bits48.to_bytes(6, "big")
+    return bytes([(tc << 3) | category]) + payload
+
+
+def make_position_me(
+    tc: int,
+    altitude_ft: int,
+    cpr_lat: int,
+    cpr_lon: int,
+    odd: bool,
+    q25: bool = True,
+    surveillance_status: int = 0,
+    nic: int = 0,
+    cpr_time: int = 0,
+) -> bytes:
+    """Build an AircraftPosition ME field (inverse of msgs.rs:70-89)."""
+    if q25:
+        code = (altitude_ft + 1000) // 25
+    else:
+        code = (altitude_ft + 1000) // 100
+    if not 0 <= code < 2048:
+        raise ValueError("altitude code out of range")
+    m0 = (tc << 3) | (surveillance_status << 1) | nic
+    m1 = ((code >> 4) << 1) | (1 if q25 else 0)
+    m2 = (
+        ((code & 0xF) << 4)
+        | (cpr_time << 3)
+        | ((1 if odd else 0) << 2)
+        | ((cpr_lat >> 15) & 0b11)
+    )
+    m3 = (cpr_lat >> 7) & 0xFF
+    m4 = ((cpr_lat & 0x7F) << 1) | ((cpr_lon >> 16) & 1)
+    m5 = (cpr_lon >> 8) & 0xFF
+    m6 = cpr_lon & 0xFF
+    return bytes([m0, m1, m2, m3, m4, m5, m6])
+
+
+def frame_to_pulses(frame: bytes) -> np.ndarray:
+    """14-byte frame -> (240,) float in {0,1}: preamble + PPM data pulses."""
+    pulses = np.zeros(WINDOW, dtype=np.float64)
+    for p in PREAMBLE_PULSES:
+        pulses[p] = 1.0
+    bits = np.unpackbits(np.frombuffer(frame, dtype=np.uint8))
+    for k, bit in enumerate(bits):
+        base = PREAMBLE_LEN + 2 * k
+        if bit:
+            pulses[base] = 1.0
+        else:
+            pulses[base + 1] = 1.0
+    return pulses
+
+
+def modulate(
+    frames: list[bytes],
+    offsets: list[int],
+    total_len: int,
+    amplitude: float = 10000.0,
+    noise_std: float = 60.0,
+    snr_db: float | None = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """Place frames in a noise floor -> (total_len, 2) int16 IQ.
+
+    The signal rides on I; complex AWGN is added to both rails. If `snr_db`
+    is given it overrides `noise_std` via snr = amplitude^2 / (2*sigma^2).
+    """
+    rng = np.random.default_rng(seed)
+    if snr_db is not None:
+        noise_std = amplitude / np.sqrt(2.0 * 10.0 ** (snr_db / 10.0))
+    i_rail = rng.normal(0.0, noise_std, total_len)
+    q_rail = rng.normal(0.0, noise_std, total_len)
+    for frame, off in zip(frames, offsets):
+        if off < 0 or off + WINDOW > total_len:
+            raise ValueError(f"frame at {off} does not fit in {total_len}")
+        i_rail[off : off + WINDOW] += amplitude * frame_to_pulses(frame)
+    iq = np.stack([i_rail, q_rail], axis=-1)
+    return np.clip(np.round(iq), -32768, 32767).astype(np.int16)
+
+
+def flip_bit(frame: bytes, bit_index: int) -> bytes:
+    """Flip one bit (MSB-first index) — for CRC-recovery tests."""
+    buf = bytearray(frame)
+    buf[bit_index // 8] ^= 1 << (7 - bit_index % 8)
+    return bytes(buf)

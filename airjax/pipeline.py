@@ -1,0 +1,204 @@
+"""The jitted decode pipeline: IQ blocks -> validated 14-byte frames.
+
+The reference's three-thread scalar pipeline (src/adsb.rs:92-122) becomes a
+single traced array program per block batch:
+
+  int16 IQ -> exact u32 magnitude -> branch-free preamble/DF17 scan over all
+  offsets -> masked compaction into fixed-capacity candidates -> PPM
+  bit-slice of candidates -> GF(2) matmul CRC + single-bit syndrome
+  recovery -> (frames, offsets, masks, stats)
+
+Two block decompositions are provided:
+
+  * parity mode — reproduces the reference playback semantics exactly:
+    20,000-sample chunks, offsets [0, 19760) per chunk, boundary-straddling
+    frames dropped, tail dropped, duplicates kept (the reference's
+    `_i += 240` skip is a no-op — src/adsb.rs:113).
+  * overlap mode — the fixed "long-context" decomposition: blocks carry a
+    239-sample halo from the next block, so every global offset is scanned
+    exactly once and no frame is ever lost at a block edge.
+
+Host-side, validated frames become `AdsbPacket`s in capture order.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from airjax.config import PipelineConfig, DEFAULT_CONFIG
+from airjax.dsp.demod import WINDOW, detect, slice_bits
+from airjax.dsp.magnitude import magnitude_u32
+from airjax.protocol.crc import bits_to_bytes, crc_check_and_recover
+from airjax.protocol.packet import AdsbPacket
+
+
+def compact_mask(det: jnp.ndarray, capacity: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Compact True positions of a bool vector into ascending slots.
+
+    Scatter-based (O(n), vmap/shard_map friendly — no data-dependent
+    shapes): slot j holds the j-th True index; invalid slots hold n.
+    Returns (indices (capacity,) int32, n_true () int32).
+    """
+    n = det.shape[-1]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    rank = jnp.cumsum(det.astype(jnp.int32)) - 1
+    dest = jnp.where(det & (rank < capacity), rank, capacity)
+    out = jnp.full((capacity + 1,), n, dtype=jnp.int32).at[dest].set(
+        iota, mode="drop", unique_indices=False
+    )
+    # Slot `capacity` collected every dropped/overflow write; discard it.
+    return out[:capacity], jnp.sum(det, dtype=jnp.int32)
+
+
+def decode_mags_block(
+    mags: jnp.ndarray, n_off: int, capacity: int
+) -> dict[str, jnp.ndarray]:
+    """Scan one magnitude block: detection, slicing, CRC, recovery.
+
+    Args:
+      mags: (L,) uint32, L >= n_off + WINDOW - 1.
+      n_off: number of window offsets to scan (static).
+      capacity: fixed candidate capacity (static).
+    """
+    det = detect(mags, n_off)
+    offsets, n_det = compact_mask(det, capacity)
+    valid = offsets < n_off
+    bits = slice_bits(mags, jnp.where(valid, offsets, 0))
+    bits, crc_ok, recovered = crc_check_and_recover(bits)
+    good = crc_ok & valid
+    frames = bits_to_bytes(bits)
+    return {
+        "offsets": offsets,
+        "valid": valid,
+        "good": good,
+        "recovered": recovered & valid,
+        "frames": frames,
+        "n_detections": n_det,
+        "n_good": jnp.sum(good, dtype=jnp.int32),
+        "overflow": n_det > capacity,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("n_off", "capacity"))
+def decode_iq_block(
+    iq: jnp.ndarray, n_off: int, capacity: int
+) -> dict[str, jnp.ndarray]:
+    """(L, 2) int16 IQ -> candidate dict (single block, jitted)."""
+    return decode_mags_block(magnitude_u32(iq), n_off, capacity)
+
+
+@functools.partial(jax.jit, static_argnames=("n_off", "capacity"))
+def decode_iq_chunks(
+    iq_chunks: jnp.ndarray, n_off: int, capacity: int
+) -> dict[str, jnp.ndarray]:
+    """(B, L, 2) int16 IQ chunk batch -> batched candidate dict (vmapped)."""
+    return jax.vmap(
+        lambda iq: decode_mags_block(magnitude_u32(iq), n_off, capacity)
+    )(iq_chunks)
+
+
+# ---------------------------------------------------------------------------
+# Block decompositions
+# ---------------------------------------------------------------------------
+
+
+def reference_chunk_count(n_samples: int, chunk: int = 20000) -> int:
+    """Number of chunks the reference playback emits (src/adsb.rs:75-89).
+
+    `while i < len - 20000 { send [i, i+20000); i += 20000 }` — note this
+    drops the tail *including the final full chunk* when len is an exact
+    multiple.
+    """
+    if n_samples <= chunk:
+        return 0
+    return -(-(n_samples - chunk) // chunk)  # ceil((len - chunk)/chunk)
+
+
+def decode_capture_parity(
+    iq: np.ndarray,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> tuple[list[tuple[int, int, bytes, bool]], dict]:
+    """Decode a capture with exact reference playback semantics.
+
+    Returns (hits, stats) where hits is a list of
+    (chunk_index, offset_in_chunk, frame_bytes, recovered) in scan order.
+    """
+    chunk = cfg.block_len
+    n_off = chunk - WINDOW
+    n_chunks = reference_chunk_count(len(iq), chunk)
+    if n_chunks == 0:
+        return [], {"n_detections": 0, "n_good": 0, "overflow": False}
+    blocks = np.asarray(iq[: n_chunks * chunk]).reshape(n_chunks, chunk, 2)
+    out = jax.device_get(
+        decode_iq_chunks(jnp.asarray(blocks), n_off, cfg.max_candidates)
+    )
+    return _collect_hits(out, lambda c, o: (c, o)), _collect_stats(out)
+
+
+def decode_capture_overlap(
+    iq: np.ndarray,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> tuple[list[tuple[int, int, bytes, bool]], dict]:
+    """Decode a capture with the overlap-save decomposition (no frame loss).
+
+    Every global offset in [0, len - WINDOW] is scanned exactly once: blocks
+    of `block_len` each carry a halo of WINDOW-1 samples from the next block.
+    Returns hits as (block_index, global_offset, frame_bytes, recovered).
+    """
+    block = cfg.block_len
+    halo = WINDOW - 1
+    n = len(iq)
+    if n < WINDOW:
+        return [], {"n_detections": 0, "n_good": 0, "overflow": False}
+    n_blocks = -(-n // block)
+    padded = np.zeros((n_blocks * block + halo, 2), dtype=np.int16)
+    padded[:n] = iq
+    # window view: block i covers samples [i*block, (i+1)*block + halo)
+    blocks = np.stack(
+        [padded[i * block : (i + 1) * block + halo] for i in range(n_blocks)]
+    )
+    out = jax.device_get(
+        decode_iq_chunks(jnp.asarray(blocks), block, cfg.max_candidates)
+    )
+    # Offsets at the very end whose window would run past the capture are
+    # invalid (the reference never scans them either).
+    max_global = n - WINDOW
+    hits = _collect_hits(out, lambda b, o: (b, b * block + o))
+    hits = [h for h in hits if h[1] <= max_global]
+    return hits, _collect_stats(out)
+
+
+def _collect_hits(out: dict, to_global) -> list[tuple[int, int, bytes, bool]]:
+    hits = []
+    n_blocks = out["offsets"].shape[0]
+    for b in range(n_blocks):
+        good = np.asarray(out["good"][b])
+        offs = np.asarray(out["offsets"][b])
+        frames = np.asarray(out["frames"][b])
+        rec = np.asarray(out["recovered"][b])
+        for k in np.nonzero(good)[0]:
+            blk, off = to_global(b, int(offs[k]))
+            hits.append((blk, off, frames[k].tobytes(), bool(rec[k])))
+    return hits
+
+
+def _collect_stats(out: dict) -> dict:
+    return {
+        "n_detections": int(np.sum(out["n_detections"])),
+        "n_good": int(np.sum(out["n_good"])),
+        "n_recovered": int(np.sum(out["recovered"])),
+        "overflow": bool(np.any(out["overflow"])),
+    }
+
+
+def hits_to_packets(
+    hits: list[tuple[int, int, bytes, float | None]],
+    time_processed: float | None = None,
+) -> Iterator[AdsbPacket]:
+    for _, _, frame, _ in hits:
+        yield AdsbPacket.from_bytes(frame, time_processed)

@@ -1,0 +1,12 @@
+"""Test config: force CPU backend with 8 virtual devices so sharding/halo
+logic is testable without TPU hardware (SURVEY.md §4c). Must run before any
+jax import."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
