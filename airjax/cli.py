@@ -1,0 +1,202 @@
+"""CLI mirroring the reference's subcommands (src/cli.rs, src/main.rs):
+
+  airjax list
+  airjax receive <frequency> <sample_rate> <gain> <period> [-d DEVICE]
+  airjax adsb [-d DEVICE] [-m {web,interactive,stream}] [-p PLAYBACK]
+
+Extensions beyond the reference (all optional):
+  adsb --synthetic N     decode N synthetic blocks (no hardware needed)
+  adsb --no-overlap      reference-exact chunking (boundary frames lost)
+  adsb --fast            replay without the 2x-real-time sleep
+  receive --synthetic    capture synthetic IQ to the .c16 file
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _cmd_list(args) -> int:
+    from airjax import sdr
+
+    try:
+        for i, dev in enumerate(sdr.list_devices()):
+            print(f"{i}: {dev}")
+    except sdr.SdrUnavailable as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+def _cmd_receive(args) -> int:
+    import numpy as np
+
+    from airjax.io.c16 import save_c16
+
+    name = f"data_{args.frequency}_{args.sample_rate}_{args.gain}"
+    if args.synthetic:
+        from airjax.io.source import synthetic_blocks
+
+        n_samples = int(args.sample_rate * args.period)
+        chunks = []
+        got = 0
+        for block in synthetic_blocks(chunk=20000):
+            chunks.append(block)
+            got += len(block)
+            if got >= n_samples:
+                break
+        data = np.concatenate(chunks)[:n_samples]
+        save_c16(data, name)
+        print(f"saved {len(data)} synthetic samples to {name}")
+        return 0
+
+    from airjax import sdr
+
+    try:
+        source = sdr.SdrSource(
+            device=args.device,
+            frequency_hz=args.frequency,
+            sample_rate_hz=args.sample_rate,
+            gain_db=args.gain,
+        )
+    except sdr.SdrUnavailable as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    import time
+
+    data = []
+    start = time.time()
+    for block in source.blocks():  # pragma: no cover - needs hardware
+        data.append(block)
+        if time.time() - start >= args.period:
+            break
+    save_c16(np.concatenate(data), name)
+    return 0
+
+
+def _cmd_adsb(args) -> int:
+    from airjax.config import DEFAULT_CONFIG
+    from airjax.runner import run_stream
+
+    # --- source (src/adsb.rs:131-144) ---
+    if args.playback:
+        from airjax.io.source import playback_blocks
+
+        try:
+            source = playback_blocks(
+                args.playback,
+                realtime_factor=None if args.fast else 2.0,
+            )
+            source = iter(source)
+            # Trigger the file load now for a clean error message.
+            first = next(source, None)
+        except (OSError, ValueError) as e:
+            print(f"error: couldn't load playback data file: {e}", file=sys.stderr)
+            return 1
+        if first is not None:
+            import itertools
+
+            source = itertools.chain([first], source)
+        else:
+            source = iter(())
+    elif args.synthetic is not None:
+        from airjax.io.source import synthetic_blocks
+
+        source = synthetic_blocks(n_blocks=args.synthetic)
+    else:
+        from airjax import sdr
+
+        try:
+            source = sdr.SdrSource(device=args.device).blocks()
+        except sdr.SdrUnavailable as e:
+            print(
+                f"error: {e}\nhint: use --playback FILE or --synthetic N",
+                file=sys.stderr,
+            )
+            return 1
+
+    overlap = not args.no_overlap
+
+    # --- display sink (src/adsb.rs:149-167) ---
+    if args.mode == "stream":
+        from airjax.ui.stream import stream_printer
+
+        stats = run_stream(source, stream_printer(), overlap=overlap)
+    elif args.mode == "interactive":
+        import threading
+
+        from airjax.ui.tui import TuiApp, interactive_display
+
+        app = TuiApp()
+        decode_thread = threading.Thread(
+            target=run_stream,
+            args=(source, app.on_packet),
+            kwargs={"overlap": overlap},
+            daemon=True,
+        )
+        decode_thread.start()
+        interactive_display(app)
+        return 0
+    elif args.mode == "web":
+        from airjax.ui.web import WebDisplay
+
+        display = WebDisplay(
+            DEFAULT_CONFIG.web_host, port=args.port, quiet=False
+        )
+        display.start_background()
+        stats = run_stream(source, display.on_packet, overlap=overlap)
+        print("source exhausted; web server still running (Ctrl-C to quit)")
+        import time
+
+        try:
+            while True:
+                time.sleep(1)
+        except KeyboardInterrupt:
+            return 0
+    else:  # pragma: no cover
+        raise ValueError(args.mode)
+
+    print(f"\nstats: {stats.as_dict()}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="airjax", description="TPU-native tool to interface with sdr devices"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("list", help="enumerate SDR devices")
+
+    receive = sub.add_parser("receive", help="capture IQ to a .c16 file")
+    receive.add_argument("frequency", type=float, help="Frequency in Hz")
+    receive.add_argument("sample_rate", type=float, help="Sample rate in Hz")
+    receive.add_argument("gain", type=float, help="Gain")
+    receive.add_argument("period", type=int, help="Period in seconds")
+    receive.add_argument("-d", "--device", type=int, default=None)
+    receive.add_argument("--synthetic", action="store_true")
+
+    adsb = sub.add_parser("adsb", help="decode + display ADS-B traffic")
+    adsb.add_argument("-d", "--device", type=int, default=None)
+    adsb.add_argument(
+        "-m", "--mode", choices=["web", "interactive", "stream"], default="stream"
+    )
+    adsb.add_argument("-p", "--playback", default=None, help=".c16 capture to replay")
+    adsb.add_argument("--synthetic", type=int, default=None, metavar="N")
+    adsb.add_argument("--no-overlap", action="store_true")
+    adsb.add_argument("--fast", action="store_true")
+    adsb.add_argument("--port", type=int, default=8080)
+
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return {"list": _cmd_list, "receive": _cmd_receive, "adsb": _cmd_adsb}[
+        args.command
+    ](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -71,16 +71,19 @@ def compact_detections(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Compact a (n_off,) bool mask into ascending candidate offsets.
 
-    Returns (offsets (K,) int32 with invalid slots = n_off, valid (K,) bool,
-    n_detections () int32). Detections beyond capacity are dropped (the
-    n_detections count still reflects them, so callers can flag overflow).
+    Gather-based: slot k holds the index of the (k+1)-th True element,
+    found by binary-searching the cumulative count — O(K log N) vectorized
+    gathers, no scatter (TPU scatters serialize and would dominate the
+    pipeline). Returns (offsets (K,) int32 with invalid slots = n_off,
+    valid (K,) bool, n_detections () int32). Detections beyond capacity are
+    dropped (the count still reflects them, so callers can flag overflow).
     """
     n_off = det.shape[-1]
-    offsets = jnp.nonzero(det, size=max_candidates, fill_value=n_off)[0].astype(
-        jnp.int32
-    )
+    counts = jnp.cumsum(det.astype(jnp.int32))
+    ranks = jnp.arange(1, max_candidates + 1, dtype=jnp.int32)
+    offsets = jnp.searchsorted(counts, ranks, side="left").astype(jnp.int32)
     valid = offsets < n_off
-    return offsets, valid, jnp.sum(det, dtype=jnp.int32)
+    return offsets, valid, counts[-1]
 
 
 def slice_bits(mags: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from airjax.config import PipelineConfig, DEFAULT_CONFIG
-from airjax.dsp.demod import WINDOW, detect, slice_bits
+from airjax.dsp.demod import WINDOW, compact_detections, detect, slice_bits
 from airjax.dsp.magnitude import magnitude_u32
 from airjax.protocol.crc import bits_to_bytes, crc_check_and_recover
 from airjax.protocol.packet import AdsbPacket
@@ -40,19 +40,12 @@ from airjax.protocol.packet import AdsbPacket
 def compact_mask(det: jnp.ndarray, capacity: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Compact True positions of a bool vector into ascending slots.
 
-    Scatter-based (O(n), vmap/shard_map friendly — no data-dependent
-    shapes): slot j holds the j-th True index; invalid slots hold n.
-    Returns (indices (capacity,) int32, n_true () int32).
+    Delegates to airjax.dsp.demod.compact_detections (gather-based, no
+    scatter). Invalid slots hold n. Returns (indices (capacity,) int32,
+    n_true () int32).
     """
-    n = det.shape[-1]
-    iota = jnp.arange(n, dtype=jnp.int32)
-    rank = jnp.cumsum(det.astype(jnp.int32)) - 1
-    dest = jnp.where(det & (rank < capacity), rank, capacity)
-    out = jnp.full((capacity + 1,), n, dtype=jnp.int32).at[dest].set(
-        iota, mode="drop", unique_indices=False
-    )
-    # Slot `capacity` collected every dropped/overflow write; discard it.
-    return out[:capacity], jnp.sum(det, dtype=jnp.int32)
+    offsets, _, n_det = compact_detections(det, capacity)
+    return offsets, n_det
 
 
 def decode_mags_block(

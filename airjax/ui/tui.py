@@ -1,0 +1,85 @@
+"""Terminal UI: live aircraft table (mirrors src/adsb/tui.rs).
+
+Same columns and behavior as the reference ratatui table — ICAO, Callsign,
+Altitude, Latitude, Longitude, Velocity (n/a), Age — sorted by age, packet
+counter in the title, q/Esc/Ctrl-C to quit — implemented with stdlib
+curses. Packets are drained from a thread-safe queue each frame
+(the reference drains its mpsc non-blocking per frame, tui.rs:40-43).
+"""
+
+from __future__ import annotations
+
+import curses
+import queue
+import time
+
+from airjax.protocol.packet import AdsbPacket
+from airjax.track.aircraft import Aircraft, handle_aircraft_update
+
+HEADER = ["ICAO", "Callsign", "Altitude", "Latitude", "Longitude", "Velocity", "Age"]
+WIDTHS = [8, 11, 11, 12, 12, 10, 6]
+
+
+class TuiApp:
+    def __init__(self):
+        self.aircrafts: dict[int, Aircraft] = {}
+        self.num_packets = 0
+        self.queue: "queue.Queue[AdsbPacket]" = queue.Queue()
+
+    def on_packet(self, packet: AdsbPacket) -> None:
+        """Sink callable — safe to call from the decode thread."""
+        self.queue.put(packet)
+
+    def _drain(self):
+        while True:
+            try:
+                packet = self.queue.get_nowait()
+            except queue.Empty:
+                return
+            self.num_packets += 1
+            handle_aircraft_update(packet, self.aircrafts)
+
+    def _rows(self):
+        planes = sorted(self.aircrafts.values(), key=lambda a: a.get_age())
+        for plane in planes:
+            pos = plane.geo_position
+            yield [
+                f"{plane.icao:x}",
+                plane.get_callsign(),
+                str(plane.altitude),
+                f"{pos.latitude:.6f}" if pos else "n/a",
+                f"{pos.longitude:.6f}" if pos else "n/a",
+                "n/a",
+                str(plane.get_age()),
+            ]
+
+    def run(self, stdscr) -> None:
+        curses.curs_set(0)
+        stdscr.nodelay(True)
+        running = True
+        while running:
+            self._drain()
+            stdscr.erase()
+            maxy, maxx = stdscr.getmaxyx()
+            title = f" airjax adsb tracker {self.num_packets} "
+            stdscr.addnstr(0, max(0, (maxx - len(title)) // 2), title, maxx - 1, curses.A_BOLD)
+            line = "".join(h.ljust(w) for h, w in zip(HEADER, WIDTHS))
+            stdscr.addnstr(1, 0, line, maxx - 1, curses.A_BOLD)
+            for i, row in enumerate(self._rows()):
+                if i + 2 >= maxy:
+                    break
+                stdscr.addnstr(
+                    i + 2, 0, "".join(c.ljust(w) for c, w in zip(row, WIDTHS)), maxx - 1
+                )
+            stdscr.refresh()
+            t0 = time.time()
+            while time.time() - t0 < 0.1:
+                ch = stdscr.getch()
+                if ch in (ord("q"), 27, 3):  # q, Esc, Ctrl-C
+                    running = False
+                    break
+                time.sleep(0.01)
+
+
+def interactive_display(app: TuiApp) -> None:
+    curses.wrapper(app.run)
