@@ -66,24 +66,45 @@ def detect(mags: jnp.ndarray, n_off: int) -> jnp.ndarray:
     return (hmin >= lmax) & (dmin >= dmax)
 
 
+COMPACT_TILE = 512
+
+
 def compact_detections(
-    det: jnp.ndarray, max_candidates: int
+    det: jnp.ndarray, max_candidates: int, tile: int = COMPACT_TILE
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Compact a (n_off,) bool mask into ascending candidate offsets.
 
-    Gather-based: slot k holds the index of the (k+1)-th True element,
-    found by binary-searching the cumulative count — O(K log N) vectorized
-    gathers, no scatter (TPU scatters serialize and would dominate the
-    pipeline). Returns (offsets (K,) int32 with invalid slots = n_off,
-    valid (K,) bool, n_detections () int32). Detections beyond capacity are
-    dropped (the count still reflects them, so callers can flag overflow).
+    Two-level gather-based compaction (no scatter — TPU scatters serialize,
+    and a flat O(N) cumsum costs multiple HBM passes):
+      1. per-tile detection counts (one reduction pass) + a tiny cumsum
+         over the N/tile tile counts;
+      2. binary-search the tile prefix for each rank, gather just the K
+         candidate tiles, and locate the in-tile position with a small
+         per-row cumsum + search.
+    Returns (offsets (K,) int32 with invalid slots = n_off, valid (K,)
+    bool, n_detections () int32). Detections beyond capacity are dropped
+    (the count still reflects them, so callers can flag overflow).
     """
     n_off = det.shape[-1]
-    counts = jnp.cumsum(det.astype(jnp.int32))
+    n_tiles = -(-n_off // tile)
+    padded = jnp.pad(det, (0, n_tiles * tile - n_off)).reshape(n_tiles, tile)
+    row_counts = jnp.sum(padded, axis=1, dtype=jnp.int32)
+    row_cum = jnp.cumsum(row_counts)
+    row_start = row_cum - row_counts
     ranks = jnp.arange(1, max_candidates + 1, dtype=jnp.int32)
-    offsets = jnp.searchsorted(counts, ranks, side="left").astype(jnp.int32)
-    valid = offsets < n_off
-    return offsets, valid, counts[-1]
+    row_idx = jnp.searchsorted(row_cum, ranks, side="left").astype(jnp.int32)
+    safe_row = jnp.minimum(row_idx, n_tiles - 1)
+    rows = padded[safe_row]  # (K, tile) — only candidate tiles are touched
+    local_cum = jnp.cumsum(rows.astype(jnp.int32), axis=1)
+    local_rank = ranks - row_start[safe_row]
+    local_idx = jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="left")
+    )(local_cum, local_rank).astype(jnp.int32)
+    offsets = safe_row * tile + local_idx
+    total = row_cum[-1]
+    valid = ranks <= total
+    offsets = jnp.where(valid, offsets, n_off)
+    return offsets, valid, total
 
 
 def slice_bits(mags: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
@@ -92,6 +113,10 @@ def slice_bits(mags: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
     bit_k = mag[o+16+2k] > mag[o+16+2k+1] (falling edge = 1), matching the
     reference's relative slicer + Manchester fold (demod.rs:92-131,180-201).
     Offsets must be in-range (clamp before calling).
+
+    Direct gather formulation — simple but O(K*224) gathered elements; the
+    production pipeline uses the packed-word path below (pack_cmp_streams +
+    slice_bits_packed), which gathers 10 words per candidate instead.
     """
 
     def one(offset):
@@ -99,6 +124,51 @@ def slice_bits(mags: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
         return (window[0::2] > window[1::2]).astype(jnp.uint8)
 
     return jax.vmap(one)(offsets)
+
+
+_WORDS_PER_CAND = 8  # ceil((31 + 223) / 32) — covers any 32-bit alignment
+
+
+def pack_cmp_words(mags: jnp.ndarray) -> jnp.ndarray:
+    """Precompute ALL pair-compare bits packed 32/word (MSB first).
+
+    cmp[i] = mags[i] > mags[i+1] is computed once for every sample in one
+    vectorized pass and bit-packed via a contiguous reshape (stride-2
+    parity splits are pathological relayouts on TPU — ~64 ms for 16M
+    elements — so the data bits stay interleaved and the extractor reads
+    every other bit instead). Padded with _WORDS_PER_CAND zero words.
+    """
+    cmp = (mags[:-1] > mags[1:]).astype(jnp.uint32)
+    n = cmp.shape[0]
+    n_words = -(-n // 32)
+    padded = jnp.pad(cmp, (0, n_words * 32 - n)).reshape(n_words, 32)
+    weights = jnp.uint32(1) << jnp.arange(31, -1, -1, dtype=jnp.uint32)
+    words = jnp.sum(padded * weights, axis=1, dtype=jnp.uint32)
+    return jnp.pad(words, (0, _WORDS_PER_CAND))
+
+
+def slice_bits_packed(words: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
+    """(K,) offsets -> (K, 112) bits via 8 word gathers per candidate.
+
+    Candidate bit t lives at cmp index o + 16 + 2t; the 112 bits span at
+    most 8 consecutive 32-bit words, so slicing is a (K, 8) gather plus a
+    branch-free 8-way select and variable shift.
+    """
+    d0 = offsets + DATA_OFFSET  # bit index of data bit 0 in the cmp stream
+    word0 = d0 >> 5
+    align = (d0 & 31).astype(jnp.uint32)  # (K,)
+
+    j = jnp.arange(_WORDS_PER_CAND, dtype=jnp.int32)
+    gathered = words[word0[:, None] + j[None, :]]  # (K, 8) uint32
+
+    t = jnp.arange(FRAME_BITS, dtype=jnp.uint32)  # (112,)
+    pos = align[:, None] + 2 * t[None, :]  # (K, 112) in [0, 253]
+    word_sel = (pos >> 5).astype(jnp.int32)  # 0..7
+    shift = 31 - (pos & 31)
+    sel = jnp.zeros(pos.shape, dtype=jnp.uint32)
+    for jj in range(_WORDS_PER_CAND):
+        sel = jnp.where(word_sel == jj, gathered[:, jj : jj + 1], sel)
+    return ((sel >> shift) & 1).astype(jnp.uint8)
 
 
 def scan_block(

@@ -31,7 +31,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from airjax.config import PipelineConfig, DEFAULT_CONFIG
-from airjax.dsp.demod import WINDOW, compact_detections, detect, slice_bits
+from airjax.dsp.demod import (
+    WINDOW,
+    compact_detections,
+    detect,
+    pack_cmp_words,
+    slice_bits,
+    slice_bits_packed,
+)
 from airjax.dsp.magnitude import magnitude_u32
 from airjax.protocol.crc import bits_to_bytes, crc_check_and_recover
 from airjax.protocol.packet import AdsbPacket
@@ -61,7 +68,8 @@ def decode_mags_block(
     det = detect(mags, n_off)
     offsets, n_det = compact_mask(det, capacity)
     valid = offsets < n_off
-    bits = slice_bits(mags, jnp.where(valid, offsets, 0))
+    words = pack_cmp_words(mags)
+    bits = slice_bits_packed(words, jnp.where(valid, offsets, 0))
     bits, crc_ok, recovered = crc_check_and_recover(bits)
     good = crc_ok & valid
     frames = bits_to_bytes(bits)

@@ -87,7 +87,7 @@ def _timed(fn, *args, iters=3):
     return best
 
 
-def bench(block_len=1 << 20, n_blocks=16, capacity=2048, r_small=1, r_big=9):
+def bench(block_len=1 << 24, n_blocks=2, capacity=4096, r_small=2, r_big=12):
     blocks_np, n_frames = build_workload(block_len, n_blocks)
     total_samples = block_len * n_blocks
 
