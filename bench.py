@@ -61,16 +61,19 @@ def make_repeat_step(block_len: int, capacity: int):
 
     @functools.partial(jax.jit, static_argnames=("reps",))
     def step(blocks, reps: int):
+        n_blocks = blocks.shape[0]
+
         def one_pass(r, acc):
-            # Perturb the input per pass (wrapping int16 add) so the decode
-            # is not loop-invariant; costs one elementwise pass.
-            perturbed = blocks + r.astype(jnp.int16)
-            out = jax.vmap(
-                lambda iq: decode_mags_block(
-                    magnitude_u32(iq), block_len, capacity
-                )
-            )(perturbed)
-            return acc + jnp.sum(out["n_good"]) + jnp.sum(out["n_detections"])
+            # One block per pass, selected round-robin; perturbed per pass
+            # (wrapping int16 add) so the decode is not loop-invariant.
+            # Blocks run sequentially, not vmapped — batched gathers lower
+            # ~2.3x less efficiently on TPU than per-block programs.
+            iq = jax.lax.dynamic_index_in_dim(
+                blocks, r % n_blocks, axis=0, keepdims=False
+            )
+            perturbed = iq + r.astype(jnp.int16)
+            out = decode_mags_block(magnitude_u32(perturbed), block_len, capacity)
+            return acc + out["n_good"] + out["n_detections"]
 
         return jax.lax.fori_loop(0, reps, one_pass, jnp.int32(0))
 
@@ -89,7 +92,7 @@ def _timed(fn, *args, iters=3):
 
 def bench(block_len=1 << 24, n_blocks=2, capacity=4096, r_small=2, r_big=12):
     blocks_np, n_frames = build_workload(block_len, n_blocks)
-    total_samples = block_len * n_blocks
+    total_samples = block_len  # one block decoded per pass
 
     blocks = jax.device_put(jnp.asarray(blocks_np))
     step = make_repeat_step(block_len, capacity)
@@ -102,8 +105,8 @@ def bench(block_len=1 << 24, n_blocks=2, capacity=4096, r_small=2, r_big=12):
     t_big = _timed(step, blocks, r_big)
     per_pass = (t_big - t_small) / (r_big - r_small)
 
-    # Decode-quality stats from the standard entry point (single pass).
-    out = decode_iq_chunks(blocks, block_len, capacity)
+    # Decode-quality stats from the standard entry point (block 0).
+    out = decode_iq_chunks(blocks[:1], block_len, capacity)
     n_good = int(jnp.sum(out["n_good"]))
     n_det = int(jnp.sum(out["n_detections"]))
 
