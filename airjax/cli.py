@@ -122,7 +122,9 @@ def _cmd_adsb(args) -> int:
     if args.mode == "stream":
         from airjax.ui.stream import stream_printer
 
-        stats = run_stream(source, stream_printer(), overlap=overlap)
+        stats = run_stream(
+            source, stream_printer(), overlap=overlap, plot_dir=args.plot_dir
+        )
     elif args.mode == "interactive":
         import threading
 
@@ -187,6 +189,9 @@ def build_parser() -> argparse.ArgumentParser:
     adsb.add_argument("--no-overlap", action="store_true")
     adsb.add_argument("--fast", action="store_true")
     adsb.add_argument("--port", type=int, default=8080)
+    adsb.add_argument(
+        "--plot-dir", default=None, help="dump an SVG magnitude plot per frame"
+    )
 
     return parser
 

@@ -1,0 +1,75 @@
+"""Observability: profiler traces, per-stage counters, structured logging.
+
+The reference has none of this — println! breadcrumbs and two commented-out
+counters (src/adsb.rs:93-94,120). Here every jitted decode returns a stats
+struct (samples in, windows scanned, preambles hit, CRC pass/recovered,
+overflow — see airjax.pipeline / airjax.runner.StreamStats), and this
+module adds:
+
+  * `trace(...)`   — context manager around jax.profiler for device traces
+                     viewable in TensorBoard/Perfetto
+  * `StageTimer`   — host-side wall-clock stage accounting
+  * `log_stats`    — one-line structured (JSON) stat logging
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import logging
+import time
+
+import jax
+
+logger = logging.getLogger("airjax")
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/airjax_trace", enabled: bool = True):
+    """Capture a device profile of the enclosed block.
+
+    View with: tensorboard --logdir <log_dir>  (or open the .perfetto
+    trace in ui.perfetto.dev).
+    """
+    if not enabled:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        logger.info("profile written to %s", log_dir)
+
+
+class StageTimer:
+    """Accumulates wall-clock per named stage; cheap enough to always on."""
+
+    def __init__(self):
+        self.totals: dict[str, float] = {}
+        self.counts: dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def as_dict(self) -> dict:
+        return {
+            name: {
+                "total_s": round(total, 6),
+                "calls": self.counts[name],
+                "mean_ms": round(total / self.counts[name] * 1e3, 3),
+            }
+            for name, total in sorted(self.totals.items())
+        }
+
+
+def log_stats(event: str, stats: dict, level: int = logging.INFO) -> None:
+    """Structured one-line stat log (absl-style key=value JSON)."""
+    logger.log(level, "%s %s", event, json.dumps(stats, sort_keys=True))

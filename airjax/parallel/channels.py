@@ -1,0 +1,106 @@
+"""Channel-parallel decode: N independent receivers sharded across chips.
+
+BASELINE config 4: "8 simulated receivers sharded across chips". Each
+channel is an independent IQ stream (one antenna/SDR); the channel axis is
+pure data parallelism over the mesh — no halo needed between channels,
+each device decodes its local channels sequentially (sequential beats
+vmap for this pipeline: batched gathers lower ~2.3x worse on TPU).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from airjax.dsp.demod import WINDOW
+from airjax.dsp.magnitude import magnitude_u32
+from airjax.pipeline import decode_mags_block
+
+CHANNEL_AXIS = "c"
+
+
+def build_channel_decoder(
+    mesh: Mesh,
+    n_channels: int,
+    block_len: int,
+    capacity: int,
+    axis: str = CHANNEL_AXIS,
+):
+    """Jitted decoder for (n_channels, block_len + 239, 2) int16 batches.
+
+    Channels are sharded over the mesh axis; outputs are per-channel
+    candidate dicts with a leading channel axis (global offsets are
+    channel-local sample offsets).
+    """
+    n_dev = mesh.shape[axis]
+    if n_channels % n_dev != 0:
+        raise ValueError(f"{n_channels} channels not divisible by {n_dev} devices")
+
+    def local_step(iq_local: jnp.ndarray):
+        # iq_local: (n_channels/n_dev, block_len + halo, 2)
+        def one(iq):
+            return decode_mags_block(magnitude_u32(iq), block_len, capacity)
+
+        return jax.lax.map(one, iq_local)  # sequential over local channels
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=PartitionSpec(axis, None, None),
+        out_specs={
+            "offsets": PartitionSpec(axis, None),
+            "valid": PartitionSpec(axis, None),
+            "good": PartitionSpec(axis, None),
+            "recovered": PartitionSpec(axis, None),
+            "frames": PartitionSpec(axis, None, None),
+            "n_detections": PartitionSpec(axis),
+            "n_good": PartitionSpec(axis),
+            "overflow": PartitionSpec(axis),
+        },
+    )
+
+    in_sharding = NamedSharding(mesh, PartitionSpec(axis, None, None))
+
+    @jax.jit
+    def step(iq: jnp.ndarray):
+        iq = jax.lax.with_sharding_constraint(iq, in_sharding)
+        return sharded(iq)
+
+    return step
+
+
+def decode_channels(
+    iq_channels,
+    mesh: Mesh,
+    capacity: int = 1024,
+    axis: str = CHANNEL_AXIS,
+):
+    """Host convenience: decode a (C, L, 2) multi-channel capture.
+
+    Pads each channel with a zero halo; returns a list (one per channel)
+    of (0, offset, frame_bytes, recovered) hit tuples in offset order.
+    """
+    import numpy as np
+
+    arr = np.asarray(iq_channels, dtype=np.int16)
+    c, n, _ = arr.shape
+    halo = WINDOW - 1
+    block_len = n - halo if n > halo else 0
+    if block_len <= 0:
+        return [[] for _ in range(c)]
+    step = build_channel_decoder(mesh, c, block_len, capacity, axis)
+    out = jax.device_get(step(jnp.asarray(arr)))
+
+    max_offset = n - WINDOW
+    results = []
+    for ch in range(c):
+        hits = []
+        for k in np.nonzero(out["good"][ch])[0]:
+            off = int(out["offsets"][ch][k])
+            if off <= max_offset:
+                hits.append(
+                    (0, off, out["frames"][ch][k].tobytes(), bool(out["recovered"][ch][k]))
+                )
+        results.append(hits)
+    return results

@@ -1,0 +1,113 @@
+"""Multi-host decode: per-host IQ ingestion, pod-wide halo scan, host-0 gather.
+
+BASELINE config 5: time-block sharding across >=2 hosts. The sharded halo
+decoder (airjax.parallel.halo) is mesh-agnostic — over a multi-host mesh
+its `ppermute` halo rides ICI within a slice and DCN between hosts with no
+code change. This module adds the multi-host plumbing around it:
+
+  * init()                — jax.distributed.initialize (no-op single-host)
+  * global_mesh()         — 1-D mesh over all devices of all processes
+  * ingest_process_local()— each host contributes its own IQ span via
+                            jax.make_array_from_process_local_data
+  * decode_capture()      — run the sharded decode, then
+                            process_allgather the (small) candidate
+                            arrays so every host — in particular host 0 —
+                            sees the full ordered hit stream
+
+The reference is strictly single-process (SURVEY §2.4); this is the
+capability it has no analogue for.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from airjax.dsp.demod import WINDOW
+from airjax.parallel.halo import build_sharded_decoder
+from airjax.parallel.mesh import TIME_AXIS
+
+
+def init() -> tuple[int, int]:
+    """Initialize jax.distributed from the environment; returns
+    (process_index, process_count). Safe to call single-host."""
+    try:
+        jax.distributed.initialize()
+    except (ValueError, RuntimeError):
+        pass  # single-process or already initialized
+    return jax.process_index(), jax.process_count()
+
+
+def global_mesh(axis: str = TIME_AXIS) -> Mesh:
+    """1-D mesh over every device in the job (all hosts)."""
+    return Mesh(np.asarray(jax.devices()), (axis,))
+
+
+def ingest_process_local(
+    local_iq: np.ndarray, mesh: Mesh, axis: str = TIME_AXIS
+) -> jax.Array:
+    """Build the global time-sharded IQ array from per-host spans.
+
+    Host p holds samples [p*local_len, (p+1)*local_len) of the global
+    stream; local_len must divide evenly among the host's local devices.
+    """
+    sharding = NamedSharding(mesh, PartitionSpec(axis, None))
+    return jax.make_array_from_process_local_data(sharding, local_iq)
+
+
+def decode_capture(
+    local_iq: np.ndarray,
+    capacity_per_shard: int = 256,
+    axis: str = TIME_AXIS,
+):
+    """Decode a capture whose span is distributed across hosts.
+
+    Every process calls this with its own contiguous span (equal sizes).
+    Returns (hits, stats) — identical on every host after the gather;
+    hits are (0, global_offset, frame_bytes, recovered), offset-ordered.
+    """
+    from jax.experimental import multihost_utils
+
+    mesh = global_mesh(axis)
+    n_dev = mesh.shape[axis]
+    local = np.ascontiguousarray(local_iq, dtype=np.int16)
+    n_global = local.shape[0] * jax.process_count()
+    if n_global % n_dev != 0:
+        raise ValueError(
+            f"global samples {n_global} not divisible by {n_dev} devices"
+        )
+    iq_global = ingest_process_local(local, mesh, axis)
+    step = build_sharded_decoder(mesh, n_global, capacity_per_shard, axis)
+    out = step(iq_global)
+
+    # Candidate outputs are small (n_dev * K); gather them everywhere.
+    gathered = {
+        k: np.asarray(multihost_utils.process_allgather(out[k], tiled=True))
+        if out[k].ndim > 0
+        else np.asarray(jax.device_get(out[k]))
+        for k in ("offsets", "good", "recovered", "frames")
+    } if jax.process_count() > 1 else jax.device_get(out)
+
+    max_offset = n_global - WINDOW
+    hits = []
+    for k in np.nonzero(np.asarray(gathered["good"]))[0]:
+        off = int(gathered["offsets"][k])
+        if off <= max_offset:
+            hits.append(
+                (
+                    0,
+                    off,
+                    np.asarray(gathered["frames"][k]).tobytes(),
+                    bool(gathered["recovered"][k]),
+                )
+            )
+    hits.sort(key=lambda h: h[1])
+    stats = {
+        "n_detections": int(jax.device_get(out["n_detections"])),
+        "n_good": int(jax.device_get(out["n_good"])),
+        "processes": jax.process_count(),
+        "devices": n_dev,
+    }
+    return hits, stats

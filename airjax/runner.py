@@ -60,8 +60,13 @@ def run_stream(
     overlap: bool = True,
     prefetch_depth: int = 4,
     stats: StreamStats | None = None,
+    plot_dir: str | None = None,
 ) -> StreamStats:
-    """Consume a block source until exhausted; call on_packet per frame."""
+    """Consume a block source until exhausted; call on_packet per frame.
+
+    With plot_dir set, an SVG magnitude plot of each decoded frame's
+    window is dumped there (debug aid; see airjax.visualise).
+    """
     stats = stats or StreamStats()
     halo = WINDOW - 1
     carry = np.zeros((halo, 2), dtype=np.int16) if overlap else None
@@ -92,6 +97,16 @@ def run_stream(
                 AdsbPacket.from_bytes(out["frames"][k].tobytes(), now)
             )
             emitted += 1
+            if plot_dir is not None:
+                from airjax import golden, visualise
+
+                window = ext[local : local + WINDOW]
+                visualise.plot_adsb_frame(
+                    golden.magnitude(window),
+                    out_dir=plot_dir,
+                    detection_offset=0,
+                    title=f"frame @ {global_base + local if overlap else local}",
+                )
         stats.blocks += 1
         stats.samples += block.shape[0]
         stats.detections += int(out["n_detections"])

@@ -4,9 +4,12 @@
 
 "use strict";
 
+const DEMO_MODE = new URLSearchParams(location.search).has("demo");
+
 const canvas = document.getElementById("radar");
 const ctx = canvas.getContext("2d");
 const aircraft = new Map(); // icao -> summary
+const airfields = []; // {icao, lat, lon, name}
 let packets = 0;
 let center = null; // {lat, lon}
 
@@ -17,19 +20,57 @@ function resize() {
 window.addEventListener("resize", resize);
 resize();
 
+function ingest(summary) {
+  packets += 1;
+  aircraft.set(summary.icao, { ...summary, seen: Date.now() / 1000 });
+  if (!center && summary.geoPosition) {
+    center = { lat: summary.geoPosition.latitude, lon: summary.geoPosition.longitude };
+  }
+}
+
 function connect() {
   const ws = new WebSocket(`ws://${location.host}/ws`);
-  ws.onmessage = (ev) => {
-    const summary = JSON.parse(ev.data);
-    packets += 1;
-    aircraft.set(summary.icao, { ...summary, seen: Date.now() / 1000 });
-    if (!center && summary.geoPosition) {
-      center = { lat: summary.geoPosition.latitude, lon: summary.geoPosition.longitude };
-    }
-  };
+  ws.onmessage = (ev) => ingest(JSON.parse(ev.data));
   ws.onclose = () => setTimeout(connect, 2000);
 }
-connect();
+
+// Demo mode (?demo): four synthetic Wellington-area aircraft with
+// per-second jitter — no backend needed.
+function startDemo() {
+  const base = { lat: -41.3272, lon: 174.8053 };
+  const demo = [
+    { icao: 0xc80001, callsign: "DEMO101_", altitude: 12000, dlat: 0.12, dlon: 0.2 },
+    { icao: 0xc80002, callsign: "DEMO202_", altitude: 24000, dlat: -0.25, dlon: 0.1 },
+    { icao: 0xc80003, callsign: "DEMO303_", altitude: 6000, dlat: 0.05, dlon: -0.3 },
+    { icao: 0xc80004, callsign: "DEMO404_", altitude: 36000, dlat: -0.1, dlon: -0.15 },
+  ];
+  setInterval(() => {
+    for (const d of demo) {
+      d.dlat += (Math.random() - 0.5) * 0.004;
+      d.dlon += (Math.random() - 0.5) * 0.004;
+      ingest({
+        icao: d.icao,
+        callsign: d.callsign,
+        altitude: d.altitude,
+        geoPosition: { latitude: base.lat + d.dlat, longitude: base.lon + d.dlon },
+        lastContact: Math.floor(Date.now() / 1000),
+      });
+    }
+  }, 1000);
+}
+
+fetch("airfields.csv")
+  .then((r) => r.text())
+  .then((text) => {
+    for (const line of text.trim().split("\n").slice(1)) {
+      const [icao, lat, lon, name] = line.split(",");
+      airfields.push({ icao, lat: parseFloat(lat), lon: parseFloat(lon), name });
+    }
+  })
+  .catch(() => {});
+
+if (DEMO_MODE) startDemo();
+else connect();
 
 const R_EARTH_M = 6371000;
 function project(lat, lon) {
@@ -72,6 +113,19 @@ function draw() {
       ctx.arc(w / 2, h / 2, r, 0, 2 * Math.PI);
       ctx.stroke();
       ctx.fillText(`${km} km`, w / 2 + r * 0.707, h / 2 - r * 0.707);
+    }
+  }
+
+  // Airfield overlay (yellow markers, like the reference's NZ airports).
+  if (center) {
+    ctx.font = `${11 * devicePixelRatio}px monospace`;
+    for (const f of airfields) {
+      const p = project(f.lat, f.lon);
+      const x = w / 2 + p.x * scale, y = h / 2 + p.y * scale;
+      if (x < 0 || y < 0 || x > w || y > h) continue;
+      ctx.fillStyle = "#e8c34a";
+      ctx.fillRect(x - 3, y - 3, 6, 6);
+      ctx.fillText(f.icao, x + 6, y + 4);
     }
   }
 

@@ -1,0 +1,96 @@
+"""SNR sensitivity sweep (BASELINE config 2): decode probability vs SNR.
+
+Batches of synthetic captures at mixed SNR are decoded by the TPU pipeline
+and (optionally) cross-checked against the golden scalar decoder — the
+decode-rate curves must coincide, since the pipelines are bit-identical.
+
+Usage:
+  python tools/snr_sweep.py [--captures 64] [--frames 8] [--golden] [--json OUT]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
+
+from airjax import golden  # noqa: E402
+from airjax.config import PipelineConfig  # noqa: E402
+from airjax.io import synth  # noqa: E402
+from airjax.pipeline import decode_capture_parity  # noqa: E402
+
+
+def sweep(
+    snrs_db=(0.0, 2.0, 4.0, 6.0, 8.0, 10.0, 14.0, 20.0),
+    captures_per_snr: int = 8,
+    frames_per_capture: int = 8,
+    capture_len: int = 24001,
+    check_golden: bool = False,
+    seed: int = 0,
+) -> dict:
+    cfg = PipelineConfig(block_len=capture_len - 1)
+    frame = synth.make_df17(0x7C6B30, synth.make_id_me("SNRTEST"))
+    spacing = (capture_len - 600) // frames_per_capture
+    offsets = [300 + i * spacing for i in range(frames_per_capture)]
+
+    curve = []
+    for snr in snrs_db:
+        decoded = 0
+        total = 0
+        golden_decoded = 0
+        for c in range(captures_per_snr):
+            iq = synth.modulate(
+                [frame] * len(offsets),
+                offsets,
+                capture_len,
+                snr_db=snr,
+                seed=seed * 100003 + int(snr * 10) * 101 + c,
+            )
+            hits, _ = decode_capture_parity(iq, cfg)
+            got = {h[1] for h in hits if h[2] == frame}
+            decoded += len(got & set(offsets))
+            total += len(offsets)
+            if check_golden:
+                ghits = golden.decode_capture_playback(iq, chunk=cfg.block_len)
+                ggot = {o for _, o, p in ghits if p == frame}
+                golden_decoded += len(ggot & set(offsets))
+        point = {
+            "snr_db": snr,
+            "decode_rate": round(decoded / total, 4),
+            "frames": total,
+        }
+        if check_golden:
+            point["golden_decode_rate"] = round(golden_decoded / total, 4)
+            assert point["golden_decode_rate"] == point["decode_rate"], (
+                f"TPU pipeline diverged from golden decoder at {snr} dB"
+            )
+        curve.append(point)
+    return {"curve": curve, "frames_per_capture": frames_per_capture}
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--captures", type=int, default=8)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--golden", action="store_true", help="cross-check scalar oracle")
+    p.add_argument("--json", default=None)
+    args = p.parse_args(argv)
+    result = sweep(
+        captures_per_snr=args.captures,
+        frames_per_capture=args.frames,
+        check_golden=args.golden,
+    )
+    text = json.dumps(result, indent=2)
+    print(text)
+    if args.json:
+        with open(args.json, "w") as f:
+            f.write(text)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
