@@ -120,11 +120,12 @@ def _cmd_adsb(args) -> int:
 
     # --- display sink (src/adsb.rs:149-167) ---
     if args.mode == "stream":
-        from airjax.ui.stream import stream_printer
+        from airjax.ui.stream import jsonl_writer, stream_printer, tee
 
-        stats = run_stream(
-            source, stream_printer(), overlap=overlap, plot_dir=args.plot_dir
-        )
+        sink = stream_printer()
+        if args.jsonl:
+            sink = tee(sink, jsonl_writer(args.jsonl))
+        stats = run_stream(source, sink, overlap=overlap, plot_dir=args.plot_dir)
     elif args.mode == "interactive":
         import threading
 
@@ -191,6 +192,9 @@ def build_parser() -> argparse.ArgumentParser:
     adsb.add_argument("--port", type=int, default=8080)
     adsb.add_argument(
         "--plot-dir", default=None, help="dump an SVG magnitude plot per frame"
+    )
+    adsb.add_argument(
+        "--jsonl", default=None, help="append decoded packets as JSON lines"
     )
 
     return parser

@@ -103,6 +103,25 @@ def decode_iq_chunks(
     )(iq_chunks)
 
 
+def decode_iq_block_adaptive(
+    iq_block: np.ndarray, n_off: int, capacity: int
+) -> dict:
+    """Decode one block, growing candidate capacity on overflow.
+
+    The fixed-capacity compaction drops detections past `capacity`
+    (flagged via `overflow`); parity demands every hit, so overflowing
+    blocks are re-decoded at 4x capacity until they fit (degenerate
+    streams — e.g. constant magnitudes, where every offset detects — cap
+    out at n_off). Each distinct capacity is one extra jit cache entry.
+    """
+    block = jnp.asarray(iq_block)
+    out = jax.device_get(decode_iq_block(block, n_off, capacity))
+    while bool(out["overflow"]) and capacity < n_off:
+        capacity = min(capacity * 4, n_off)
+        out = jax.device_get(decode_iq_block(block, n_off, capacity))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Block decompositions
 # ---------------------------------------------------------------------------
@@ -138,7 +157,10 @@ def decode_capture_parity(
     out = jax.device_get(
         decode_iq_chunks(jnp.asarray(blocks), n_off, cfg.max_candidates)
     )
-    return _collect_hits(out, lambda c, o: (c, o)), _collect_stats(out)
+    hits = _collect_hits(
+        out, lambda c, o: (c, o), blocks, n_off, cfg.max_candidates
+    )
+    return hits, _collect_stats(out)
 
 
 def decode_capture_overlap(
@@ -169,19 +191,37 @@ def decode_capture_overlap(
     # Offsets at the very end whose window would run past the capture are
     # invalid (the reference never scans them either).
     max_global = n - WINDOW
-    hits = _collect_hits(out, lambda b, o: (b, b * block + o))
+    hits = _collect_hits(
+        out, lambda b, o: (b, b * block + o), blocks, block, cfg.max_candidates
+    )
     hits = [h for h in hits if h[1] <= max_global]
     return hits, _collect_stats(out)
 
 
-def _collect_hits(out: dict, to_global) -> list[tuple[int, int, bytes, bool]]:
+def _collect_hits(
+    out: dict,
+    to_global,
+    blocks: np.ndarray | None = None,
+    n_off: int | None = None,
+    capacity: int | None = None,
+) -> list[tuple[int, int, bytes, bool]]:
+    """Collect ordered hits; re-decodes overflowed blocks adaptively when
+    the raw blocks are provided (so capacity overflow never loses hits)."""
     hits = []
     n_blocks = out["offsets"].shape[0]
+    overflow = np.asarray(out["overflow"])
     for b in range(n_blocks):
-        good = np.asarray(out["good"][b])
-        offs = np.asarray(out["offsets"][b])
-        frames = np.asarray(out["frames"][b])
-        rec = np.asarray(out["recovered"][b])
+        if blocks is not None and bool(overflow[b]):
+            blk_out = decode_iq_block_adaptive(blocks[b], n_off, capacity)
+            good = blk_out["good"]
+            offs = blk_out["offsets"]
+            frames = blk_out["frames"]
+            rec = blk_out["recovered"]
+        else:
+            good = np.asarray(out["good"][b])
+            offs = np.asarray(out["offsets"][b])
+            frames = np.asarray(out["frames"][b])
+            rec = np.asarray(out["recovered"][b])
         for k in np.nonzero(good)[0]:
             blk, off = to_global(b, int(offs[k]))
             hits.append((blk, off, frames[k].tobytes(), bool(rec[k])))

@@ -26,7 +26,7 @@ import numpy as np
 from airjax.config import DEFAULT_CONFIG, PipelineConfig
 from airjax.dsp.demod import WINDOW
 from airjax.io.source import Prefetcher
-from airjax.pipeline import decode_iq_block
+from airjax.pipeline import decode_iq_block_adaptive
 from airjax.protocol.packet import AdsbPacket
 
 
@@ -84,9 +84,7 @@ def run_stream(
         else:
             ext = block
             n_off = block.shape[0] - WINDOW
-        out = jax.device_get(
-            decode_iq_block(jax.numpy.asarray(ext), n_off, cfg.max_candidates)
-        )
+        out = decode_iq_block_adaptive(ext, n_off, cfg.max_candidates)
         now = time.time()
         emitted = 0
         for k in np.nonzero(out["good"])[0]:

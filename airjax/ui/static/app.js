@@ -20,6 +20,25 @@ function resize() {
 window.addEventListener("resize", resize);
 resize();
 
+// Hover + click-to-expand (hit-test radius 8 px, like the reference sprite).
+let mouse = { x: -1, y: -1 };
+let selected = null; // icao pinned by click
+const screenPos = new Map(); // icao -> {x, y} of last draw
+canvas.addEventListener("mousemove", (ev) => {
+  mouse = { x: ev.offsetX * devicePixelRatio, y: ev.offsetY * devicePixelRatio };
+});
+canvas.addEventListener("click", () => {
+  const hit = hitTest();
+  selected = hit !== null && hit === selected ? null : hit;
+});
+function hitTest() {
+  const r = 8 * devicePixelRatio;
+  for (const [icao, p] of screenPos) {
+    if (Math.hypot(p.x - mouse.x, p.y - mouse.y) <= r) return icao;
+  }
+  return null;
+}
+
 function ingest(summary) {
   packets += 1;
   aircraft.set(summary.icao, { ...summary, seen: Date.now() / 1000 });
@@ -131,10 +150,13 @@ function draw() {
 
   // Aircraft.
   ctx.font = `${12 * devicePixelRatio}px monospace`;
+  screenPos.clear();
+  const hover = hitTest();
   for (const a of aircraft.values()) {
     if (!a.geoPosition || !center) continue;
     const p = project(a.geoPosition.latitude, a.geoPosition.longitude);
     const x = w / 2 + p.x * scale, y = h / 2 + p.y * scale;
+    screenPos.set(a.icao, { x, y });
     const age = Date.now() / 1000 - a.seen;
     ctx.fillStyle = age < 15 ? "#ffd75a" : "#7a6a30";
     ctx.beginPath();
@@ -148,6 +170,25 @@ function draw() {
     ctx.fillStyle = "#dfe7ff";
     const label = `${a.callsign || a.icao.toString(16)} ${a.altitude}ft`;
     ctx.fillText(label, x + 20, y - 20);
+
+    // Expanded panel on hover or click.
+    if (a.icao === hover || a.icao === selected) {
+      const lines = [
+        `icao     ${a.icao.toString(16).padStart(6, "0")}`,
+        `callsign ${a.callsign || "-"}`,
+        `altitude ${a.altitude} ft`,
+        `lat      ${a.geoPosition.latitude.toFixed(6)}`,
+        `lon      ${a.geoPosition.longitude.toFixed(6)}`,
+        `contact  ${new Date(a.lastContact * 1000).toLocaleTimeString()}`,
+      ];
+      const pw = 210 * devicePixelRatio;
+      ctx.fillStyle = "rgba(16,26,56,0.95)";
+      ctx.fillRect(x + 22, y - 10, pw, 14 + 16 * lines.length);
+      ctx.strokeStyle = "#39508c";
+      ctx.strokeRect(x + 22, y - 10, pw, 14 + 16 * lines.length);
+      ctx.fillStyle = "#dfe7ff";
+      lines.forEach((l, i) => ctx.fillText(l, x + 30, y + 8 + 16 * i));
+    }
   }
 
   // Stats box + table of aircraft without positions.

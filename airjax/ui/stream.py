@@ -16,3 +16,48 @@ def stream_printer(out=None):
         out.flush()
 
     return on_packet
+
+
+def jsonl_writer(path: str):
+    """Structured decoded-message sink: one JSON object per packet.
+
+    The reference's only persistence is raw .c16 capture; this adds the
+    decoded-side checkpoint (SURVEY §5): replayable, greppable, and enough
+    to rebuild the aircraft table.
+    """
+    import json
+
+    f = open(path, "a", buffering=1)
+
+    def on_packet(packet: AdsbPacket) -> None:
+        record = {
+            "hex": packet.packet.hex(),
+            "df": packet.downlink_format,
+            "capability": packet.capability,
+            "icao": f"{packet.icao:06x}",
+            "tc": packet.msg_type,
+            "time": packet.time_processed,
+        }
+        msg = packet.msg
+        if hasattr(msg, "callsign"):
+            record["callsign"] = msg.callsign
+        if hasattr(msg, "altitude"):
+            record.update(
+                altitude_ft=msg.altitude,
+                cpr_format=msg.cpr_format.name.lower(),
+                cpr_lat=msg.cpr_latitude,
+                cpr_lon=msg.cpr_longitude,
+            )
+        f.write(json.dumps(record) + "\n")
+
+    return on_packet
+
+
+def tee(*sinks):
+    """Fan one packet stream into several sinks."""
+
+    def on_packet(packet: AdsbPacket) -> None:
+        for sink in sinks:
+            sink(packet)
+
+    return on_packet

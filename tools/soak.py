@@ -1,0 +1,88 @@
+"""Continuous-stream soak (BASELINE config 3): run the overlap-save block
+pipeline on a continuous synthetic stream for N seconds on one chip and
+verify zero boundary loss.
+
+Every block carries exactly `frames_per_block` frames, one of which is
+placed straddling the previous block boundary (the class the reference
+demonstrably drops, src/adsb.rs:75-89) — so expected decodes are exactly
+countable and any boundary loss shows up as a deficit.
+
+Usage: python tools/soak.py [--seconds 60] [--block 200000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
+
+from airjax.io import synth  # noqa: E402
+from airjax.runner import run_stream  # noqa: E402
+
+
+def boundary_stream(block: int, stop_flag: dict, seed: int = 0):
+    """Endless blocks; each carries a mid-block frame plus a frame whose
+    head sits in this block and whose tail crosses into the next one.
+
+    Per yielded block b: frame 1 at local offset 2000, frame 2 at local
+    offset block-120 (straddling the b/b+1 boundary; its 120-sample tail
+    is stitched into the head of block b+1). Expected decodes after B
+    blocks: 2B - 1 (the final straddler never completes).
+    """
+    frame = synth.make_df17(0x7C6B30, synth.make_id_me("SOAK"))
+    window = 240
+    tail = None
+    b = 0
+    while not stop_flag.get("stop"):
+        seg = synth.modulate(
+            [frame, frame], [2000, block - 120], block + window, seed=seed + b
+        )
+        out = seg[:block].copy()
+        if tail is not None:
+            out[:window] = tail  # completes the previous straddler
+        tail = seg[block : block + window].copy()
+        yield out
+        b += 1
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--seconds", type=float, default=60.0)
+    p.add_argument("--block", type=int, default=200000)
+    args = p.parse_args(argv)
+
+    stop = {}
+    frames_seen = []
+    t0 = time.time()
+
+    def on_packet(pkt):
+        frames_seen.append(pkt.icao)
+        if time.time() - t0 > args.seconds:
+            stop["stop"] = True
+
+    def timed_stream():
+        for blk in boundary_stream(args.block, stop):
+            if time.time() - t0 > args.seconds:
+                return
+            yield blk
+
+    stats = run_stream(timed_stream(), on_packet, overlap=True)
+    d = stats.as_dict()
+    expected = 2 * d["blocks"] - 1  # final straddler never completes
+    d.update(
+        seconds=round(time.time() - t0, 1),
+        frames_decoded=len(frames_seen),
+        frames_expected=expected,
+        boundary_loss=max(0, expected - len(frames_seen)),
+    )
+    print(json.dumps(d))
+    return 0 if d["boundary_loss"] == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
