@@ -59,8 +59,10 @@ def make_repeat_step(block_len: int, capacity: int):
 
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("reps",))
-    def step(blocks, reps: int):
+    @jax.jit
+    def step(blocks, reps):
+        # `reps` is a traced scalar: one compilation serves every timing
+        # point (remote TPU compiles here cost minutes each).
         n_blocks = blocks.shape[0]
 
         def one_pass(r, acc):
@@ -97,9 +99,8 @@ def bench(block_len=1 << 24, n_blocks=2, capacity=4096, r_small=2, r_big=12):
     blocks = jax.device_put(jnp.asarray(blocks_np))
     step = make_repeat_step(block_len, capacity)
 
-    # Warm both compilations.
+    # Warm the (single) compilation.
     int(step(blocks, r_small))
-    int(step(blocks, r_big))
 
     t_small = _timed(step, blocks, r_small)
     t_big = _timed(step, blocks, r_big)
@@ -132,4 +133,18 @@ def bench(block_len=1 << 24, n_blocks=2, capacity=4096, r_small=2, r_big=12):
 
 
 if __name__ == "__main__":
-    print(json.dumps(bench()))
+    try:
+        print(json.dumps(bench()))
+    except Exception as e:  # always emit the contract line
+        print(
+            json.dumps(
+                {
+                    "metric": "iq_throughput_msps",
+                    "value": 0,
+                    "unit": "Msamples/s",
+                    "vs_baseline": 0,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                }
+            )
+        )
+        raise
