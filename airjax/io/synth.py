@@ -119,14 +119,58 @@ def modulate(
     rng = np.random.default_rng(seed)
     if snr_db is not None:
         noise_std = amplitude / np.sqrt(2.0 * 10.0 ** (snr_db / 10.0))
-    i_rail = rng.normal(0.0, noise_std, total_len)
-    q_rail = rng.normal(0.0, noise_std, total_len)
+    # float32 + in-place: the dev hosts here have very slow memory paths,
+    # so every full-array pass counts.
+    iq = rng.normal(0.0, noise_std, (total_len, 2)).astype(np.float32)
     for frame, off in zip(frames, offsets):
         if off < 0 or off + WINDOW > total_len:
             raise ValueError(f"frame at {off} does not fit in {total_len}")
-        i_rail[off : off + WINDOW] += amplitude * frame_to_pulses(frame)
-    iq = np.stack([i_rail, q_rail], axis=-1)
-    return np.clip(np.round(iq), -32768, 32767).astype(np.int16)
+        iq[off : off + WINDOW, 0] += np.float32(amplitude) * frame_to_pulses(
+            frame
+        ).astype(np.float32)
+    np.rint(iq, out=iq)
+    np.clip(iq, -32768, 32767, out=iq)
+    return iq.astype(np.int16)
+
+
+def modulate_device(
+    frames: list[bytes],
+    offsets: list[int],
+    total_len: int,
+    amplitude: float = 10000.0,
+    noise_std: float = 60.0,
+    seed: int = 0,
+):
+    """Device-side variant of `modulate` for large benchmark workloads.
+
+    Host numpy in this environment moves ~1 MB/ms, so synthesizing a
+    multi-GB workload on the host takes minutes; on the TPU it is
+    milliseconds. Not bit-identical to the numpy path (different RNG) —
+    use only where exact host parity is not required (bench, soak).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    pulses = jnp.asarray(
+        np.stack([frame_to_pulses(f) for f in frames]).astype(np.float32)
+    )
+    offs = jnp.asarray(np.asarray(offsets, dtype=np.int32))
+
+    @jax.jit
+    def build():
+        key = jax.random.PRNGKey(seed)
+        iq = jax.random.normal(key, (total_len, 2), dtype=jnp.float32) * noise_std
+
+        def add(carry, fo):
+            pul, off = fo
+            seg = jax.lax.dynamic_slice(carry, (off, 0), (WINDOW, 2))
+            seg = seg.at[:, 0].add(amplitude * pul)
+            return jax.lax.dynamic_update_slice(carry, seg, (off, 0)), None
+
+        iq, _ = jax.lax.scan(add, iq, (pulses, offs))
+        return jnp.clip(jnp.round(iq), -32768, 32767).astype(jnp.int16)
+
+    return build()
 
 
 def flip_bit(frame: bytes, bit_index: int) -> bytes:

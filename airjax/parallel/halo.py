@@ -122,11 +122,12 @@ def decode_capture_sharded(
     """
     import numpy as np
 
+    from airjax.pipeline import pad_iq_non_detecting
+
     n_dev = mesh.shape[axis]
     n = len(iq)
     padded_len = -(-n // n_dev) * n_dev
-    arr = np.zeros((padded_len, 2), dtype=np.int16)
-    arr[:n] = iq
+    arr = pad_iq_non_detecting(np.asarray(iq, dtype=np.int16), padded_len)
     step = build_sharded_decoder(mesh, padded_len, capacity_per_shard, axis)
     out = jax.device_get(step(jnp.asarray(arr)))
 

@@ -127,6 +127,28 @@ def decode_iq_block_adaptive(
 # ---------------------------------------------------------------------------
 
 
+def pad_iq_non_detecting(iq: np.ndarray, target_len: int) -> np.ndarray:
+    """Pad IQ to target_len with a pattern that can never detect.
+
+    Zero padding is dangerous: constant magnitudes pass the reference's
+    equality-tolerant preamble check at EVERY offset and an all-zero frame
+    has CRC 0, so a zero tail floods the candidate capacity. An
+    alternating (1,0) magnitude pattern makes min(preamble highs) = 0 <
+    max(lows) = 1 at every pure-pad offset, killing all pad detections.
+    (Windows overlapping real samples are handled by the callers' global
+    offset masks.)
+    """
+    n = len(iq)
+    out = np.empty((target_len, 2), dtype=np.int16)
+    out[:n] = iq
+    pad = target_len - n
+    if pad > 0:
+        tail = np.zeros((pad, 2), dtype=np.int16)
+        tail[::2, 0] = 1  # |IQ| = 1, 0, 1, 0, ...
+        out[n:] = tail
+    return out
+
+
 def reference_chunk_count(n_samples: int, chunk: int = 20000) -> int:
     """Number of chunks the reference playback emits (src/adsb.rs:75-89).
 
@@ -142,17 +164,42 @@ def reference_chunk_count(n_samples: int, chunk: int = 20000) -> int:
 def decode_capture_parity(
     iq: np.ndarray,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    fused: bool = True,
 ) -> tuple[list[tuple[int, int, bytes, bool]], dict]:
     """Decode a capture with exact reference playback semantics.
 
     Returns (hits, stats) where hits is a list of
     (chunk_index, offset_in_chunk, frame_bytes, recovered) in scan order.
+
+    With fused=True (default) the capture is scanned ONCE as large
+    overlap-save blocks and the reference's chunking semantics are applied
+    as a pure offset filter afterwards: a chunk-local detection at
+    (c, o) is identical to the whole-stream detection at c*chunk + o
+    because magnitudes are per-sample, so "reference chunking" is exactly
+    the subset of whole-stream hits with o_in_chunk < chunk - 240 and
+    chunk_index < n_chunks. This is ~20x faster than actually decoding
+    per-20k-chunk (vmapped small blocks) and bit-identical (fuzz-verified
+    against the golden scalar decoder). fused=False keeps the literal
+    per-chunk decode for cross-validation.
     """
     chunk = cfg.block_len
     n_off = chunk - WINDOW
     n_chunks = reference_chunk_count(len(iq), chunk)
     if n_chunks == 0:
         return [], {"n_detections": 0, "n_good": 0, "overflow": False}
+
+    if fused:
+        scan_cfg = dataclasses_replace_block(cfg, max(chunk, 1 << 22))
+        whole, stats = decode_capture_overlap(
+            np.asarray(iq[: n_chunks * chunk]), scan_cfg
+        )
+        hits = []
+        for _, g, frame, rec in whole:
+            c, o = divmod(g, chunk)
+            if o < n_off:
+                hits.append((c, o, frame, rec))
+        return hits, stats
+
     blocks = np.asarray(iq[: n_chunks * chunk]).reshape(n_chunks, chunk, 2)
     out = jax.device_get(
         decode_iq_chunks(jnp.asarray(blocks), n_off, cfg.max_candidates)
@@ -161,6 +208,12 @@ def decode_capture_parity(
         out, lambda c, o: (c, o), blocks, n_off, cfg.max_candidates
     )
     return hits, _collect_stats(out)
+
+
+def dataclasses_replace_block(cfg: PipelineConfig, block_len: int) -> PipelineConfig:
+    import dataclasses
+
+    return dataclasses.replace(cfg, block_len=block_len)
 
 
 def decode_capture_overlap(
@@ -179,8 +232,7 @@ def decode_capture_overlap(
     if n < WINDOW:
         return [], {"n_detections": 0, "n_good": 0, "overflow": False}
     n_blocks = -(-n // block)
-    padded = np.zeros((n_blocks * block + halo, 2), dtype=np.int16)
-    padded[:n] = iq
+    padded = pad_iq_non_detecting(np.asarray(iq), n_blocks * block + halo)
     # window view: block i covers samples [i*block, (i+1)*block + halo)
     blocks = np.stack(
         [padded[i * block : (i + 1) * block + halo] for i in range(n_blocks)]

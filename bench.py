@@ -37,7 +37,11 @@ from airjax.dsp.magnitude import magnitude_u32
 
 
 def build_workload(block_len: int, n_blocks: int, seed: int = 0):
-    """Synthetic capture shaped (n_blocks, block_len + halo, 2) int16."""
+    """Synthetic capture shaped (n_blocks, block_len + halo, 2) int16.
+
+    Built on-device (host numpy here moves ~1 MB/ms; a 130 MB workload
+    would take minutes to synthesize on the host).
+    """
     halo = WINDOW - 1
     n = block_len * n_blocks + halo
     rng = np.random.default_rng(seed)
@@ -47,9 +51,14 @@ def build_workload(block_len: int, n_blocks: int, seed: int = 0):
     offsets = np.sort(
         rng.choice(np.arange(0, (n - WINDOW) // 300) * 300, size=n_frames, replace=False)
     )
-    iq = synth.modulate([frame] * len(offsets), list(map(int, offsets)), n, noise_std=60.0, seed=seed)
-    blocks = np.stack(
-        [iq[i * block_len : (i + 1) * block_len + halo] for i in range(n_blocks)]
+    iq = synth.modulate_device(
+        [frame] * len(offsets), list(map(int, offsets)), n, noise_std=60.0, seed=seed
+    )
+    blocks = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(iq, i * block_len, block_len + halo)
+            for i in range(n_blocks)
+        ]
     )
     return blocks, len(offsets)
 
@@ -93,10 +102,8 @@ def _timed(fn, *args, iters=3):
 
 
 def bench(block_len=1 << 24, n_blocks=2, capacity=4096, r_small=2, r_big=12):
-    blocks_np, n_frames = build_workload(block_len, n_blocks)
+    blocks, n_frames = build_workload(block_len, n_blocks)
     total_samples = block_len  # one block decoded per pass
-
-    blocks = jax.device_put(jnp.asarray(blocks_np))
     step = make_repeat_step(block_len, capacity)
 
     # Warm the (single) compilation.
