@@ -216,6 +216,17 @@ def dataclasses_replace_block(cfg: PipelineConfig, block_len: int) -> PipelineCo
     return dataclasses.replace(cfg, block_len=block_len)
 
 
+@functools.partial(jax.jit, static_argnames=("block", "capacity"))
+def _decode_block_at(iq_padded: jnp.ndarray, start, block: int, capacity: int):
+    """Decode the block starting at traced offset `start` of a padded
+    capture resident on device (one upload, device-side slicing — a host
+    np.stack of overlapping blocks costs minutes at ~1 MB/ms here)."""
+    ext = jax.lax.dynamic_slice(
+        iq_padded, (start, 0), (block + WINDOW - 1, 2)
+    )
+    return decode_mags_block(magnitude_u32(ext), block, capacity)
+
+
 def decode_capture_overlap(
     iq: np.ndarray,
     cfg: PipelineConfig = DEFAULT_CONFIG,
@@ -233,21 +244,32 @@ def decode_capture_overlap(
         return [], {"n_detections": 0, "n_good": 0, "overflow": False}
     n_blocks = -(-n // block)
     padded = pad_iq_non_detecting(np.asarray(iq), n_blocks * block + halo)
-    # window view: block i covers samples [i*block, (i+1)*block + halo)
-    blocks = np.stack(
-        [padded[i * block : (i + 1) * block + halo] for i in range(n_blocks)]
-    )
-    out = jax.device_get(
-        decode_iq_chunks(jnp.asarray(blocks), block, cfg.max_candidates)
-    )
+    iq_dev = jnp.asarray(padded)
     # Offsets at the very end whose window would run past the capture are
     # invalid (the reference never scans them either).
     max_global = n - WINDOW
-    hits = _collect_hits(
-        out, lambda b, o: (b, b * block + o), blocks, block, cfg.max_candidates
-    )
-    hits = [h for h in hits if h[1] <= max_global]
-    return hits, _collect_stats(out)
+
+    hits = []
+    stats = {"n_detections": 0, "n_good": 0, "n_recovered": 0, "overflow": False}
+    for b in range(n_blocks):
+        capacity = cfg.max_candidates
+        out = jax.device_get(_decode_block_at(iq_dev, b * block, block, capacity))
+        while bool(out["overflow"]) and capacity < block:
+            capacity = min(capacity * 4, block)
+            out = jax.device_get(
+                _decode_block_at(iq_dev, b * block, block, capacity)
+            )
+        for k in np.nonzero(out["good"])[0]:
+            g = b * block + int(out["offsets"][k])
+            if g <= max_global:
+                hits.append(
+                    (b, g, out["frames"][k].tobytes(), bool(out["recovered"][k]))
+                )
+        stats["n_detections"] += int(out["n_detections"])
+        stats["n_good"] += int(out["n_good"])
+        stats["n_recovered"] += int(np.sum(out["recovered"]))
+        stats["overflow"] |= bool(out["overflow"])
+    return hits, stats
 
 
 def _collect_hits(
