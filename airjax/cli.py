@@ -125,7 +125,10 @@ def _cmd_adsb(args) -> int:
         sink = stream_printer()
         if args.jsonl:
             sink = tee(sink, jsonl_writer(args.jsonl))
-        stats = run_stream(source, sink, overlap=overlap, plot_dir=args.plot_dir)
+        stats = run_stream(
+            source, sink, overlap=overlap, plot_dir=args.plot_dir,
+            extended=args.extended,
+        )
     elif args.mode == "interactive":
         import threading
 
@@ -135,7 +138,7 @@ def _cmd_adsb(args) -> int:
         decode_thread = threading.Thread(
             target=run_stream,
             args=(source, app.on_packet),
-            kwargs={"overlap": overlap},
+            kwargs={"overlap": overlap, "extended": args.extended},
             daemon=True,
         )
         decode_thread.start()
@@ -148,7 +151,9 @@ def _cmd_adsb(args) -> int:
             DEFAULT_CONFIG.web_host, port=args.port, quiet=False
         )
         display.start_background()
-        stats = run_stream(source, display.on_packet, overlap=overlap)
+        stats = run_stream(
+            source, display.on_packet, overlap=overlap, extended=args.extended
+        )
         print("source exhausted; web server still running (Ctrl-C to quit)")
         import time
 
@@ -195,6 +200,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     adsb.add_argument(
         "--jsonl", default=None, help="append decoded packets as JSON lines"
+    )
+    adsb.add_argument(
+        "--extended",
+        action="store_true",
+        help="decode all Mode S downlink formats (DF4/5/11/20/21), not just DF17",
     )
 
     return parser

@@ -69,6 +69,23 @@ def detect(mags: jnp.ndarray, n_off: int) -> jnp.ndarray:
 COMPACT_TILE = 512
 
 
+def detect_preamble_only(mags: jnp.ndarray, n_off: int) -> jnp.ndarray:
+    """Preamble gate WITHOUT the DF17 pattern check (extension mode).
+
+    The reference's detector only accepts DF17 (demod.rs:38-54); the
+    extended decode mode accepts any Mode S downlink format, so the gate
+    is the 16-sample preamble alone — downstream CRC/address checks do
+    the filtering.
+    """
+    hmin = functools.reduce(
+        jnp.minimum, (_shifted(mags, s, n_off) for s in PREAMBLE_HIGHS)
+    )
+    lmax = functools.reduce(
+        jnp.maximum, (_shifted(mags, s, n_off) for s in PREAMBLE_LOWS)
+    )
+    return hmin >= lmax
+
+
 def compact_detections(
     det: jnp.ndarray, max_candidates: int, tile: int = COMPACT_TILE
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -1,0 +1,125 @@
+"""Host assembly for the extended (all downlink formats) decode mode.
+
+Turns the device-side candidate dict of
+`airjax.pipeline.decode_mags_block_extended` into typed packets:
+
+  pass 1 (in offset order): CRC-validated frames — DF17+ long frames (the
+  reference path, emitted as AdsbPacket) and DF11 all-call replies —
+  registering their ICAOs in the acceptance cache;
+  pass 2: AP-addressed DF4/5/20/21 candidates accepted only when their
+  parity-recovered ICAO is in the cache (see airjax.track.icao_cache).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Union
+
+import numpy as np
+
+from airjax.protocol import shortframe
+from airjax.protocol.packet import (
+    AdsbPacket,
+    AllCallReply,
+    SurveillanceReply,
+)
+from airjax.track.icao_cache import IcaoCache
+
+ExtendedPacket = Union[AdsbPacket, AllCallReply, SurveillanceReply]
+
+
+def _short_fields_host(frame7: bytes) -> dict:
+    """Scalar short/AP frame field decode (numpy-free host path)."""
+    bits = np.unpackbits(np.frombuffer(frame7, np.uint8))
+    ac13 = bits[19:32]
+    n11 = np.concatenate([ac13[0:6], ac13[7:8], ac13[9:13]])
+    n_val = int(n11.dot(1 << np.arange(10, -1, -1)))
+    alt_valid = ac13[6] == 0 and ac13[8] == 1
+    c1, a1, c2, a2, c4, a4 = (int(b) for b in ac13[:6])
+    b1, d1, b2, d2, b4, d4 = (int(b) for b in ac13[7:13])
+    squawk = (
+        ((a4 << 2) | (a2 << 1) | a1) * 1000
+        + ((b4 << 2) | (b2 << 1) | b1) * 100
+        + ((c4 << 2) | (c2 << 1) | c1) * 10
+        + ((d4 << 2) | (d2 << 1) | d1)
+    )
+    return {
+        "fs": int((frame7[0] & 0b111)),
+        "altitude_ft": (n_val * 25 - 1000) if alt_valid else None,
+        "squawk": squawk,
+    }
+
+
+def assemble_extended(
+    out: dict, now: float, cache: IcaoCache
+) -> list[tuple[int, ExtendedPacket]]:
+    """(device candidate dict, timestamp) -> [(offset, packet)] ordered."""
+    offsets = np.asarray(out["offsets"])
+    frames = np.asarray(out["frames"])
+    frames_raw = np.asarray(out["frames_raw"])
+    df = np.asarray(out["df"])
+    good_long = np.asarray(out["good_long"])
+    good_df11 = np.asarray(out["good_df11"])
+    cand_short = np.asarray(out["cand_short_ap"])
+    cand_long = np.asarray(out["cand_long_ap"])
+    icao_short = np.asarray(out["icao_ap_short"])
+    icao_long = np.asarray(out["icao_ap_long"])
+
+    results: list[tuple[int, ExtendedPacket]] = []
+
+    # Pass 1: CRC-validated frames register ICAOs.
+    for k in np.nonzero(good_long | good_df11)[0]:
+        off = int(offsets[k])
+        if good_long[k]:
+            pkt = AdsbPacket.from_bytes(frames[k].tobytes(), now)
+            cache.add(pkt.icao, now)
+            results.append((off, pkt))
+        else:
+            raw = frames_raw[k].tobytes()
+            icao = (raw[1] << 16) | (raw[2] << 8) | raw[3]
+            cache.add(icao, now)
+            results.append(
+                (off, AllCallReply(icao=icao, capability=raw[0] & 0b111, time_processed=now))
+            )
+
+    # Pass 2: AP-addressed candidates gated on the cache.
+    for k in np.nonzero(cand_short | cand_long)[0]:
+        off = int(offsets[k])
+        icao = int(icao_short[k] if cand_short[k] else icao_long[k])
+        if not cache.contains(icao, now):
+            continue
+        raw = frames_raw[k].tobytes()
+        fields = _short_fields_host(raw[:7])
+        d = int(df[k])
+        results.append(
+            (
+                off,
+                SurveillanceReply(
+                    df=d,
+                    icao=icao,
+                    flight_status=fields["fs"],
+                    altitude_ft=fields["altitude_ft"] if d in (4, 20) else None,
+                    squawk=fields["squawk"] if d in (5, 21) else None,
+                    time_processed=now,
+                ),
+            )
+        )
+
+    results.sort(key=lambda t: t[0])
+    return results
+
+
+def handle_extended_update(packet: ExtendedPacket, aircrafts: dict) -> None:
+    """Feed extension packets into the aircraft table (AdsbPacket goes
+    through the standard reference-parity path)."""
+    from airjax.track.aircraft import Aircraft, handle_aircraft_update
+
+    if isinstance(packet, AdsbPacket):
+        handle_aircraft_update(packet, aircrafts)
+        return
+    aircraft = aircrafts.setdefault(packet.icao, Aircraft(packet.icao))
+    aircraft.last_contact = packet.time_processed
+    if isinstance(packet, SurveillanceReply):
+        if packet.altitude_ft is not None:
+            aircraft.altitude = packet.altitude_ft
+        if packet.squawk is not None:
+            aircraft.squawk = packet.squawk  # extension attribute

@@ -88,11 +88,15 @@ def make_position_me(
 
 
 def frame_to_pulses(frame: bytes) -> np.ndarray:
-    """14-byte frame -> (240,) float in {0,1}: preamble + PPM data pulses."""
-    pulses = np.zeros(WINDOW, dtype=np.float64)
+    """Frame bytes -> (16 + 2*nbits,) float in {0,1}: preamble + PPM pulses.
+
+    Works for both 14-byte (112-bit) extended squitters and 7-byte
+    (56-bit) short replies.
+    """
+    bits = np.unpackbits(np.frombuffer(frame, dtype=np.uint8))
+    pulses = np.zeros(PREAMBLE_LEN + 2 * len(bits), dtype=np.float64)
     for p in PREAMBLE_PULSES:
         pulses[p] = 1.0
-    bits = np.unpackbits(np.frombuffer(frame, dtype=np.uint8))
     for k, bit in enumerate(bits):
         base = PREAMBLE_LEN + 2 * k
         if bit:
@@ -123,11 +127,10 @@ def modulate(
     # so every full-array pass counts.
     iq = rng.normal(0.0, noise_std, (total_len, 2)).astype(np.float32)
     for frame, off in zip(frames, offsets):
-        if off < 0 or off + WINDOW > total_len:
+        pulses = frame_to_pulses(frame).astype(np.float32)
+        if off < 0 or off + len(pulses) > total_len:
             raise ValueError(f"frame at {off} does not fit in {total_len}")
-        iq[off : off + WINDOW, 0] += np.float32(amplitude) * frame_to_pulses(
-            frame
-        ).astype(np.float32)
+        iq[off : off + len(pulses), 0] += np.float32(amplitude) * pulses
     np.rint(iq, out=iq)
     np.clip(iq, -32768, 32767, out=iq)
     return iq.astype(np.int16)

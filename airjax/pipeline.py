@@ -35,6 +35,7 @@ from airjax.dsp.demod import (
     WINDOW,
     compact_detections,
     detect,
+    detect_preamble_only,
     pack_cmp_words,
     slice_bits,
     slice_bits_packed,
@@ -91,6 +92,77 @@ def decode_iq_block(
 ) -> dict[str, jnp.ndarray]:
     """(L, 2) int16 IQ -> candidate dict (single block, jitted)."""
     return decode_mags_block(magnitude_u32(iq), n_off, capacity)
+
+
+def decode_mags_block_extended(
+    mags: jnp.ndarray, n_off: int, capacity: int
+) -> dict[str, jnp.ndarray]:
+    """Extended scan: every Mode S downlink format, not just DF17.
+
+    Preamble-only detection (no DF gate), then per-candidate
+    classification (extension beyond the reference — see
+    airjax.protocol.shortframe):
+
+      * long frames (DF>=16, 112 bits): CRC check + 1-bit recovery
+        (`good_long`); DF20/21 are AP-addressed, so their CRC "residual"
+        is the transmitting ICAO (`icao_ap_long`, host-validated).
+      * short frames (56 bits): DF11 validates when PI == CRC
+        (interrogator 0, `good_df11`); DF4/5 are AP-addressed
+        candidates (`icao_ap_short`, host-validated).
+    """
+    from airjax.protocol.crc import DATA_BITS, crc24_batch, pack_bits_msbfirst
+    from airjax.protocol import shortframe
+
+    det = detect_preamble_only(mags, n_off)
+    offsets, n_det = compact_mask(det, capacity)
+    valid = offsets < n_off
+    words = pack_cmp_words(mags)
+    bits = slice_bits_packed(words, jnp.where(valid, offsets, 0))
+
+    df = pack_bits_msbfirst(bits[..., :5], 5).astype(jnp.int32)
+
+    # Long-frame path (reference semantics incl. recovery).
+    long_bits, long_ok, long_rec = crc_check_and_recover(bits)
+    is_long = df >= 16
+    good_long = long_ok & is_long & valid
+    # AP-addressed long frames: residual = ICAO (no recovery possible).
+    calced_long = crc24_batch(bits[..., :DATA_BITS])
+    pcrc_long = pack_bits_msbfirst(bits[..., DATA_BITS:], 24)
+    icao_ap_long = calced_long ^ pcrc_long
+    cand_long_ap = ((df == 20) | (df == 21)) & valid
+
+    # Short-frame path.
+    crc_short = shortframe.crc24_short_batch(bits[..., :32])
+    pi = pack_bits_msbfirst(bits[..., 32:56], 24)
+    icao_ap_short = crc_short ^ pi
+    good_df11 = (df == 11) & (icao_ap_short == 0) & valid
+    cand_short_ap = ((df == 4) | (df == 5)) & valid
+
+    frames = bits_to_bytes(long_bits)
+    frames_raw = bits_to_bytes(bits)
+    return {
+        "offsets": offsets,
+        "valid": valid,
+        "df": df,
+        "frames": frames,  # recovery applied (long frames)
+        "frames_raw": frames_raw,
+        "good_long": good_long,
+        "recovered": long_rec & good_long,
+        "good_df11": good_df11,
+        "cand_short_ap": cand_short_ap,
+        "cand_long_ap": cand_long_ap,
+        "icao_ap_short": icao_ap_short,
+        "icao_ap_long": icao_ap_long,
+        "n_detections": n_det,
+        "overflow": n_det > capacity,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("n_off", "capacity"))
+def decode_iq_block_extended(
+    iq: jnp.ndarray, n_off: int, capacity: int
+) -> dict[str, jnp.ndarray]:
+    return decode_mags_block_extended(magnitude_u32(iq), n_off, capacity)
 
 
 @functools.partial(jax.jit, static_argnames=("n_off", "capacity"))

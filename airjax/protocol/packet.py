@@ -12,7 +12,7 @@ import dataclasses
 import datetime
 import enum
 import time
-from typing import Union
+from typing import Optional, Union
 
 _CHAR_CONVERT = (
     "#ABCDEFGHIJKLMNOPQRSTUVWXYZ#####_###############0123456789######"
@@ -116,6 +116,54 @@ class AircraftPositionMsg:
 
 
 AdsbMsg = Union[AircraftId, AircraftPositionMsg, UnknownMsg]
+
+
+# --- Extension: non-DF17 Mode S frames (see airjax.protocol.shortframe;
+# the reference decodes only DF17) ---
+
+
+@dataclasses.dataclass
+class AllCallReply:
+    """DF11 all-call reply (56-bit)."""
+
+    icao: int
+    capability: int
+    time_processed: float
+
+    def format(self) -> str:
+        return (
+            "== DF11 all-call ==\n"
+            f"ICAO            : {self.icao:06X}\n"
+            f"Capability      : {self.capability}\n"
+        )
+
+
+@dataclasses.dataclass
+class SurveillanceReply:
+    """DF4/5 (56-bit) or DF20/21 (112-bit Comm-B) surveillance reply.
+
+    AP-addressed: the ICAO comes from the parity overlay and is only
+    trusted because it matched a recently validated aircraft.
+    """
+
+    df: int
+    icao: int
+    flight_status: int
+    altitude_ft: Optional[int]  # DF4/20 (None if AC13 not Q=1 metric)
+    squawk: Optional[int]  # DF5/21
+    time_processed: float
+
+    def format(self) -> str:
+        lines = [
+            f"== DF{self.df} surveillance ==",
+            f"ICAO            : {self.icao:06X}",
+            f"Flight Status   : {self.flight_status}",
+        ]
+        if self.altitude_ft is not None:
+            lines.append(f"Altitude (ft)   : {self.altitude_ft}")
+        if self.squawk is not None:
+            lines.append(f"Squawk          : {self.squawk:04d}")
+        return "\n".join(lines) + "\n"
 
 
 @dataclasses.dataclass

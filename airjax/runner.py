@@ -61,13 +61,25 @@ def run_stream(
     prefetch_depth: int = 4,
     stats: StreamStats | None = None,
     plot_dir: str | None = None,
+    extended: bool = False,
 ) -> StreamStats:
     """Consume a block source until exhausted; call on_packet per frame.
 
     With plot_dir set, an SVG magnitude plot of each decoded frame's
     window is dumped there (debug aid; see airjax.visualise).
+
+    With extended=True, every Mode S downlink format is decoded (DF11
+    all-call, AP-addressed DF4/5/20/21 surveillance replies, in addition
+    to the reference's DF17) — see airjax.extended. on_packet then also
+    receives AllCallReply / SurveillanceReply objects.
     """
     stats = stats or StreamStats()
+    if extended:
+        from airjax.extended import assemble_extended
+        from airjax.pipeline import decode_iq_block_extended
+        from airjax.track.icao_cache import IcaoCache
+
+        icao_cache = IcaoCache()
     halo = WINDOW - 1
     carry = np.zeros((halo, 2), dtype=np.int16) if overlap else None
     # Global sample index of carry[0]; first block's padded head is masked.
@@ -84,27 +96,39 @@ def run_stream(
         else:
             ext = block
             n_off = block.shape[0] - WINDOW
-        out = decode_iq_block_adaptive(ext, n_off, cfg.max_candidates)
         now = time.time()
         emitted = 0
-        for k in np.nonzero(out["good"])[0]:
-            local = int(out["offsets"][k])
-            if overlap and global_base + local < 0:
-                continue  # zero-padded head of the very first block
-            on_packet(
-                AdsbPacket.from_bytes(out["frames"][k].tobytes(), now)
-            )
-            emitted += 1
-            if plot_dir is not None:
-                from airjax import golden, visualise
-
-                window = ext[local : local + WINDOW]
-                visualise.plot_adsb_frame(
-                    golden.magnitude(window),
-                    out_dir=plot_dir,
-                    detection_offset=0,
-                    title=f"frame @ {global_base + local if overlap else local}",
+        if extended:
+            out = jax.device_get(
+                decode_iq_block_extended(
+                    jax.numpy.asarray(ext), n_off, cfg.max_candidates
                 )
+            )
+            for local, pkt in assemble_extended(out, now, icao_cache):
+                if overlap and global_base + local < 0:
+                    continue
+                on_packet(pkt)
+                emitted += 1
+        else:
+            out = decode_iq_block_adaptive(ext, n_off, cfg.max_candidates)
+            for k in np.nonzero(out["good"])[0]:
+                local = int(out["offsets"][k])
+                if overlap and global_base + local < 0:
+                    continue  # zero-padded head of the very first block
+                on_packet(
+                    AdsbPacket.from_bytes(out["frames"][k].tobytes(), now)
+                )
+                emitted += 1
+                if plot_dir is not None:
+                    from airjax import golden, visualise
+
+                    window = ext[local : local + WINDOW]
+                    visualise.plot_adsb_frame(
+                        golden.magnitude(window),
+                        out_dir=plot_dir,
+                        detection_offset=0,
+                        title=f"frame @ {global_base + local if overlap else local}",
+                    )
         stats.blocks += 1
         stats.samples += block.shape[0]
         stats.detections += int(out["n_detections"])

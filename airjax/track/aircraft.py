@@ -57,6 +57,7 @@ class Aircraft:
         now = time.time()
         self.icao = icao
         self.callsign: Optional[str] = None
+        self.squawk: Optional[int] = None  # extension (DF5/21 identity)
         self.altitude = 0
         self.geo_position: Optional[GeographicPosition] = None
         self.last_contact = now

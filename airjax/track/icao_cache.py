@@ -1,0 +1,36 @@
+"""Recently-validated ICAO cache for AP-addressed frame acceptance.
+
+DF4/5/20/21 frames carry no independent integrity check — their parity
+field is CRC XOR aircraft-address, so ANY 56/112-bit noise burst yields
+*some* candidate ICAO. Receivers only accept such frames when the
+recovered address matches an aircraft validated recently through a frame
+with a real CRC (DF11 with PI==CRC, or DF17 extended squitter). This is
+the standard dump1090-style heuristic; the reference has no analogue
+because it never decodes AP-addressed frames.
+"""
+
+from __future__ import annotations
+
+import time
+
+
+class IcaoCache:
+    def __init__(self, max_age_s: float = 60.0):
+        self.max_age_s = max_age_s
+        self._seen: dict[int, float] = {}
+
+    def add(self, icao: int, now: float | None = None) -> None:
+        self._seen[icao] = time.time() if now is None else now
+
+    def contains(self, icao: int, now: float | None = None) -> bool:
+        t = self._seen.get(icao)
+        if t is None:
+            return False
+        now = time.time() if now is None else now
+        if now - t > self.max_age_s:
+            del self._seen[icao]
+            return False
+        return True
+
+    def __len__(self) -> int:
+        return len(self._seen)

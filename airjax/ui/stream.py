@@ -29,7 +29,15 @@ def jsonl_writer(path: str):
 
     f = open(path, "a", buffering=1)
 
-    def on_packet(packet: AdsbPacket) -> None:
+    def on_packet(packet) -> None:
+        if not isinstance(packet, AdsbPacket):
+            # Extension frames (DF11 / DF4/5/20/21) have their own shape.
+            record = {"icao": f"{packet.icao:06x}", "time": packet.time_processed}
+            for attr in ("capability", "df", "flight_status", "altitude_ft", "squawk"):
+                if getattr(packet, attr, None) is not None:
+                    record[attr] = getattr(packet, attr)
+            f.write(json.dumps(record) + "\n")
+            return
         record = {
             "hex": packet.packet.hex(),
             "df": packet.downlink_format,

@@ -37,7 +37,9 @@ class TuiApp:
             except queue.Empty:
                 return
             self.num_packets += 1
-            handle_aircraft_update(packet, self.aircrafts)
+            from airjax.extended import handle_extended_update
+
+            handle_extended_update(packet, self.aircrafts)
 
     def _rows(self):
         planes = sorted(self.aircrafts.values(), key=lambda a: a.get_age())

@@ -84,10 +84,12 @@ class WebDisplay:
         self._httpd: ThreadingHTTPServer | None = None
 
     # --- pipeline sink (web.rs:117-129) ---
-    def on_packet(self, packet: AdsbPacket) -> None:
+    def on_packet(self, packet) -> None:
+        from airjax.extended import handle_extended_update
+
         with self._lock:
-            aircraft = handle_aircraft_update(packet, self.aircrafts)
-            summary = aircraft.get_summary().to_json()
+            handle_extended_update(packet, self.aircrafts)
+            summary = self.aircrafts[packet.icao].get_summary().to_json()
         msg = json.dumps(summary)
         if not self.quiet:
             print(f"Broadcasting aircraft summary: {msg}")
