@@ -195,3 +195,29 @@ def make_df5(icao: int, squawk: int, fs: int = 0, dr: int = 0, um: int = 0) -> b
     body = word.to_bytes(4, "big")
     ap = crc24(body) ^ icao
     return body + bytes([(ap >> 16) & 0xFF, (ap >> 8) & 0xFF, ap & 0xFF])
+
+
+def make_df20(
+    icao: int, altitude_ft: int, mb: bytes = b"\x00" * 7, fs: int = 0, dr: int = 0, um: int = 0
+) -> bytes:
+    """Assemble a 14-byte DF20 Comm-B altitude reply addressed via AP."""
+    if len(mb) != 7:
+        raise ValueError("MB field must be 7 bytes")
+    ac13 = _ac13_from_altitude(altitude_ft)
+    word = (20 << 27) | (fs << 24) | (dr << 19) | (um << 13) | ac13
+    body = word.to_bytes(4, "big") + mb
+    ap = crc24(body) ^ icao
+    return body + bytes([(ap >> 16) & 0xFF, (ap >> 8) & 0xFF, ap & 0xFF])
+
+
+def make_df21(
+    icao: int, squawk: int, mb: bytes = b"\x00" * 7, fs: int = 0, dr: int = 0, um: int = 0
+) -> bytes:
+    """Assemble a 14-byte DF21 Comm-B identity reply addressed via AP."""
+    if len(mb) != 7:
+        raise ValueError("MB field must be 7 bytes")
+    id13 = _id13_from_squawk(squawk)
+    word = (21 << 27) | (fs << 24) | (dr << 19) | (um << 13) | id13
+    body = word.to_bytes(4, "big") + mb
+    ap = crc24(body) ^ icao
+    return body + bytes([(ap >> 16) & 0xFF, (ap >> 8) & 0xFF, ap & 0xFF])
