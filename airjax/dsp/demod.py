@@ -24,8 +24,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from airjax.config import PipelineConfig, DEFAULT_CONFIG
-
 # Mode S preamble: highs/lows at half-us sample indices (demod.rs:23-24).
 PREAMBLE_HIGHS = (0, 2, 7, 9)
 PREAMBLE_LOWS = (1, 3, 4, 5, 6, 8, 10, 11, 12, 13, 14, 15)
@@ -132,8 +130,8 @@ def slice_bits(mags: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
     Offsets must be in-range (clamp before calling).
 
     Direct gather formulation — simple but O(K*224) gathered elements; the
-    production pipeline uses the packed-word path below (pack_cmp_streams +
-    slice_bits_packed), which gathers 10 words per candidate instead.
+    production pipeline uses the packed-word path below (pack_cmp_words +
+    slice_bits_packed), which gathers 8 words per candidate instead.
     """
 
     def one(offset):
@@ -186,31 +184,3 @@ def slice_bits_packed(words: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
     for jj in range(_WORDS_PER_CAND):
         sel = jnp.where(word_sel == jj, gathered[:, jj : jj + 1], sel)
     return ((sel >> shift) & 1).astype(jnp.uint8)
-
-
-def scan_block(
-    mags: jnp.ndarray,
-    n_off: int,
-    max_candidates: int,
-) -> dict[str, jnp.ndarray]:
-    """Detect + compact + slice one magnitude block (static n_off).
-
-    Args:
-      mags: (L,) uint32 with L >= n_off + WINDOW - 1 ... callers guarantee
-        every window [o, o+240) for o < n_off is in bounds (L >= n_off+239).
-    Returns dict with:
-      offsets (K,) int32   — ascending detection offsets (invalid = n_off)
-      valid   (K,) bool
-      bits    (K, 112) uint8
-      n_detections () int32
-    """
-    det = detect(mags, n_off)
-    offsets, valid, n_det = compact_detections(det, max_candidates)
-    safe = jnp.where(valid, offsets, 0)
-    bits = slice_bits(mags, safe)
-    return {
-        "offsets": offsets,
-        "valid": valid,
-        "bits": bits,
-        "n_detections": n_det,
-    }

@@ -261,7 +261,9 @@ def decode_capture_parity(
         return [], {"n_detections": 0, "n_good": 0, "overflow": False}
 
     if fused:
-        scan_cfg = dataclasses_replace_block(cfg, max(chunk, 1 << 22))
+        import dataclasses
+
+        scan_cfg = dataclasses.replace(cfg, block_len=max(chunk, 1 << 22))
         whole, stats = decode_capture_overlap(
             np.asarray(iq[: n_chunks * chunk]), scan_cfg
         )
@@ -281,11 +283,6 @@ def decode_capture_parity(
     )
     return hits, _collect_stats(out)
 
-
-def dataclasses_replace_block(cfg: PipelineConfig, block_len: int) -> PipelineConfig:
-    import dataclasses
-
-    return dataclasses.replace(cfg, block_len=block_len)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "capacity"))
