@@ -79,3 +79,57 @@ def decode_capture_playback(iq: np.ndarray, chunk: int = 20000) -> list[tuple[in
         i += chunk
         c += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# Extended-mode scalar oracle (extension: all downlink formats; see
+# airjax.pipeline.decode_mags_block_extended for the device counterpart)
+# ---------------------------------------------------------------------------
+
+
+def _check_preamble_only(buf: np.ndarray) -> bool:
+    for h in _PRE_HIGHS:
+        for low in _PRE_LOWS:
+            if buf[h] < buf[low]:
+                return False
+    return True
+
+
+def decode_chunk_extended(iq_chunk: np.ndarray) -> list[tuple[int, str, bytes, int]]:
+    """Scalar classification of every preamble hit.
+
+    Returns (offset, kind, frame_bytes, icao_ap) tuples where kind is one
+    of 'long' (CRC-validated 112-bit, recovery applied), 'df11'
+    (PI==CRC), 'short_ap' (DF4/5 candidate), 'long_ap' (DF20/21
+    candidate); icao_ap is the parity-recovered address (0 for 'long').
+    """
+    mags = magnitude(iq_chunk)
+    hits: list[tuple[int, str, bytes, int]] = []
+    for i in range(len(mags) - 240):
+        if not _check_preamble_only(mags[i : i + 32]):
+            continue
+        buf = mags[i + 16 : i + 240]
+        bits = buf[0::2] > buf[1::2]
+        packet = np.packbits(bits).tobytes()
+        df = packet[0] >> 3
+        if df >= 16:
+            calced = crc24(packet[:11])
+            pcrc = (packet[11] << 16) | (packet[12] << 8) | packet[13]
+            if df in (20, 21):
+                hits.append((i, "long_ap", packet, calced ^ pcrc))
+                continue
+            if calced == pcrc:
+                hits.append((i, "long", packet, 0))
+            else:
+                fixed = try_crc_recovery_scalar(packet)
+                if fixed is not None:
+                    hits.append((i, "long", fixed, 0))
+        else:
+            short = packet[:7]
+            calced = crc24(short[:4])
+            pi = (short[4] << 16) | (short[5] << 8) | short[6]
+            if df == 11 and calced == pi:
+                hits.append((i, "df11", short, 0))
+            elif df in (4, 5):
+                hits.append((i, "short_ap", short, calced ^ pi))
+    return hits

@@ -124,12 +124,14 @@ def decode_mags_block_extended(
     # Long-frame path (reference semantics incl. recovery).
     long_bits, long_ok, long_rec = crc_check_and_recover(bits)
     is_long = df >= 16
-    good_long = long_ok & is_long & valid
-    # AP-addressed long frames: residual = ICAO (no recovery possible).
+    # AP-addressed long frames: residual = ICAO (no recovery possible);
+    # they are excluded from the CRC-validated class even when the
+    # residual happens to be 0 (address 0 is not a real aircraft).
+    cand_long_ap = ((df == 20) | (df == 21)) & valid
+    good_long = long_ok & is_long & valid & ~cand_long_ap
     calced_long = crc24_batch(bits[..., :DATA_BITS])
     pcrc_long = pack_bits_msbfirst(bits[..., DATA_BITS:], 24)
     icao_ap_long = calced_long ^ pcrc_long
-    cand_long_ap = ((df == 20) | (df == 21)) & valid
 
     # Short-frame path.
     crc_short = shortframe.crc24_short_batch(bits[..., :32])
