@@ -141,6 +141,48 @@ def slice_bits(mags: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(one)(offsets)
 
 
+def threshold_slice_bits(
+    mags: jnp.ndarray, offsets: jnp.ndarray, high: jnp.ndarray, derate: float = 0.9
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The reference's DEAD threshold slicer variant, for completeness.
+
+    `extract_manchester_threshold` (demod.rs:142-173, #[allow(dead_code)],
+    "Processed: 149, Good: 8" vs the relative slicer's 35) slices each
+    half-bit against a derated `high` — the detector's already-derated
+    min-preamble-high (check_for_adsb_packet returns u32(f32(min)*0.9),
+    extract_packet derates once more by 0.9, demod.rs:56,66 — net ~0.81 of
+    min_high) — and rejects a frame when more than 2 invalid (equal)
+    Manchester pairs accumulate within any byte. Invalid pairs decode as
+    bit 0 (the (0,0)/(1,1) symbol cases fall through, demod.rs:190-193).
+    Kept out of the production pipeline — the reference author measured it
+    strictly worse — but implemented and tested so the capability exists.
+
+    Args:
+      high: (K,) or scalar u32 — per-candidate detector high values.
+    Returns (bits (K, 112) uint8, ok (K,) bool).
+    """
+    # f32 derate (jax x64 is off); the reference derates in f64 — for this
+    # dead-in-the-reference variant the one-ulp truncation differences are
+    # acceptable and documented.
+    threshold = (
+        jnp.broadcast_to(high, offsets.shape).astype(jnp.float32) * derate
+    ).astype(jnp.uint32)
+
+    def one(offset, thr):
+        window = jax.lax.dynamic_slice(
+            mags, (offset + DATA_OFFSET,), (FRAME_SAMPLES,)
+        )
+        first = window[0::2] > thr
+        second = window[1::2] > thr
+        valid = first != second
+        bits = (first & valid).astype(jnp.uint8)
+        # > 2 invalid pairs within any byte -> reject (errors reset per byte)
+        per_byte = jnp.sum((~valid).reshape(14, 8), axis=1)
+        return bits, jnp.all(per_byte <= 2)
+
+    return jax.vmap(one)(offsets, threshold)
+
+
 _WORDS_PER_CAND = 8  # ceil((31 + 223) / 32) — covers any 32-bit alignment
 
 

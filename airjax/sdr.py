@@ -1,10 +1,15 @@
 """SDR hardware abstraction (mirrors src/sdr.rs + src/adsb.rs:27-73).
 
-The reference talks to RTL-SDR hardware through the SoapySDR C++ library via
-Rust FFI. This environment has no SDR hardware or SoapySDR install, so the
-live path binds lazily through ctypes when `libSoapySDR` is present and
-otherwise degrades to a clear error — the playback (`.c16`) and synthetic
-paths cover everything else.
+The reference talks to RTL-SDR hardware through the SoapySDR C++ library
+via Rust FFI. Here the same path binds through SoapySDR's C API with
+ctypes: enumeration, device setup (gain element "TUNER", frequency, sample
+rate — the reference's constants), and CS16 streaming in MTU-sized blocks.
+
+This environment has no SDR hardware or SoapySDR install, so every entry
+point degrades to a clear `SdrUnavailable` error; the code path is written
+against the stable SoapySDR 0.8 C ABI and is exercised for real only on a
+machine with the library + an RTL-SDR present. The playback (`.c16`) and
+synthetic sources cover everything else.
 """
 
 from __future__ import annotations
@@ -16,6 +21,12 @@ from typing import Iterator, Optional
 import numpy as np
 
 SDR_CHANNEL = 0  # src/adsb.rs:28
+SDR_RX = 1  # SOAPY_SDR_RX direction constant
+_STREAM_TIMEOUT_US = 2_000_000  # reference stream.read timeout (adsb.rs:62)
+
+
+class SdrUnavailable(RuntimeError):
+    pass
 
 
 def _load_soapy() -> Optional[ctypes.CDLL]:
@@ -23,13 +34,51 @@ def _load_soapy() -> Optional[ctypes.CDLL]:
     if path is None:
         return None
     try:
-        return ctypes.CDLL(path)
+        lib = ctypes.CDLL(path)
     except OSError:
         return None
-
-
-class SdrUnavailable(RuntimeError):
-    pass
+    # C API signatures (SoapySDR 0.8 ABI).
+    lib.SoapySDRDevice_enumerate.restype = ctypes.c_void_p
+    lib.SoapySDRDevice_enumerate.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_size_t)]
+    lib.SoapySDRKwargsList_clear.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+    lib.SoapySDRDevice_makeStrArgs.restype = ctypes.c_void_p
+    lib.SoapySDRDevice_makeStrArgs.argtypes = [ctypes.c_char_p]
+    lib.SoapySDRDevice_unmake.argtypes = [ctypes.c_void_p]
+    lib.SoapySDRDevice_setGainElement.restype = ctypes.c_int
+    lib.SoapySDRDevice_setGainElement.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_double,
+    ]
+    lib.SoapySDRDevice_setFrequency.restype = ctypes.c_int
+    lib.SoapySDRDevice_setFrequency.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_size_t, ctypes.c_double, ctypes.c_void_p,
+    ]
+    lib.SoapySDRDevice_setSampleRate.restype = ctypes.c_int
+    lib.SoapySDRDevice_setSampleRate.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_size_t, ctypes.c_double,
+    ]
+    lib.SoapySDRDevice_setupStream.restype = ctypes.c_void_p
+    lib.SoapySDRDevice_setupStream.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_size_t, ctypes.c_void_p,
+    ]
+    lib.SoapySDRDevice_activateStream.restype = ctypes.c_int
+    lib.SoapySDRDevice_activateStream.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_longlong, ctypes.c_size_t,
+    ]
+    lib.SoapySDRDevice_deactivateStream.restype = ctypes.c_int
+    lib.SoapySDRDevice_deactivateStream.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_longlong,
+    ]
+    lib.SoapySDRDevice_closeStream.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.SoapySDRDevice_getStreamMTU.restype = ctypes.c_size_t
+    lib.SoapySDRDevice_getStreamMTU.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.SoapySDRDevice_readStream.restype = ctypes.c_int
+    lib.SoapySDRDevice_readStream.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p),
+        ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_longlong), ctypes.c_long,
+    ]
+    return lib
 
 
 def list_devices() -> list[str]:
@@ -41,15 +90,21 @@ def list_devices() -> list[str]:
             "SoapySDR install with an RTL-SDR driver. Use --playback or the "
             "synthetic generator instead."
         )
-    # Minimal enumeration via the C API.
-    lib.SoapySDRDevice_enumerate.restype = ctypes.POINTER(ctypes.c_void_p)
     length = ctypes.c_size_t(0)
-    lib.SoapySDRDevice_enumerate(None, ctypes.byref(length))
-    return [f"device {i}" for i in range(length.value)]
+    kwargs_list = lib.SoapySDRDevice_enumerate(None, ctypes.byref(length))
+    try:
+        return [f"device {i}" for i in range(length.value)]
+    finally:
+        if kwargs_list:
+            lib.SoapySDRKwargsList_clear(kwargs_list, length)
 
 
 class SdrSource:
-    """Live IQ block source at 1090 MHz / 2 MS/s (src/adsb.rs:35-73)."""
+    """Live IQ block source at 1090 MHz / 2 MS/s (src/adsb.rs:35-73).
+
+    Yields MTU-sized (N, 2) int16 blocks; read errors are skipped like the
+    reference's `Err(_e) => continue` (src/adsb.rs:70).
+    """
 
     def __init__(
         self,
@@ -58,14 +113,61 @@ class SdrSource:
         sample_rate_hz: float = 2_000_000.0,
         gain_db: float = 49.5,
     ):
-        if _load_soapy() is None:
+        lib = _load_soapy()
+        if lib is None:
             raise SdrUnavailable(
                 "SoapySDR library not found — cannot open live SDR stream."
             )
-        raise SdrUnavailable(
-            "Live SDR streaming is not wired up in this environment "
-            "(no SDR hardware); use playback mode."
+        self._lib = lib
+        args = b"" if device is None else f"driver=rtlsdr,rtl={device}".encode()
+        self._dev = lib.SoapySDRDevice_makeStrArgs(args)
+        if not self._dev:
+            raise SdrUnavailable("couldn't create SDR device")
+        if lib.SoapySDRDevice_setGainElement(
+            self._dev, SDR_RX, SDR_CHANNEL, b"TUNER", gain_db
+        ):
+            raise SdrUnavailable("couldn't set gain")
+        if lib.SoapySDRDevice_setFrequency(
+            self._dev, SDR_RX, SDR_CHANNEL, frequency_hz, None
+        ):
+            raise SdrUnavailable("couldn't set frequency")
+        if lib.SoapySDRDevice_setSampleRate(
+            self._dev, SDR_RX, SDR_CHANNEL, sample_rate_hz
+        ):
+            raise SdrUnavailable("couldn't set sample rate")
+        chan = ctypes.c_size_t(SDR_CHANNEL)
+        self._stream = lib.SoapySDRDevice_setupStream(
+            self._dev, SDR_RX, b"CS16", ctypes.byref(chan), 1, None
         )
+        if not self._stream:
+            raise SdrUnavailable("couldn't setup stream")
+        self._mtu = lib.SoapySDRDevice_getStreamMTU(self._dev, self._stream) or 65536
+        lib.SoapySDRDevice_activateStream(self._dev, self._stream, 0, 0, 0)
 
-    def blocks(self) -> Iterator[np.ndarray]:  # pragma: no cover
-        raise SdrUnavailable("no live stream")
+    def blocks(self) -> Iterator[np.ndarray]:  # pragma: no cover - hardware
+        buf = np.empty((self._mtu, 2), dtype=np.int16)
+        ptrs = (ctypes.c_void_p * 1)(buf.ctypes.data)
+        flags = ctypes.c_int(0)
+        time_ns = ctypes.c_longlong(0)
+        while True:
+            n = self._lib.SoapySDRDevice_readStream(
+                self._dev,
+                self._stream,
+                ptrs,
+                self._mtu,
+                ctypes.byref(flags),
+                ctypes.byref(time_ns),
+                _STREAM_TIMEOUT_US,
+            )
+            if n <= 0:
+                continue  # timeouts/overflows skipped, like the reference
+            yield buf[:n].copy()
+
+    def close(self) -> None:  # pragma: no cover - hardware
+        if getattr(self, "_stream", None):
+            self._lib.SoapySDRDevice_deactivateStream(self._dev, self._stream, 0, 0)
+            self._lib.SoapySDRDevice_closeStream(self._dev, self._stream)
+            self._stream = None
+        if getattr(self, "_dev", None):
+            self._lib.SoapySDRDevice_unmake(self._dev)
+            self._dev = None
