@@ -104,7 +104,7 @@ def _timed(fn, *args, iters=3):
     return best, last
 
 
-def bench(block_len=1 << 24, n_blocks=2, capacity=4096, r_small=2, r_big=12):
+def bench(block_len=1 << 24, n_blocks=2, capacity=2048, r_small=2, r_big=12):
     blocks, n_frames = build_workload(block_len, n_blocks)
     total_samples = block_len  # one block decoded per pass
     step = make_repeat_step(block_len, capacity)
