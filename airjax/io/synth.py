@@ -24,9 +24,7 @@ FRAME_BITS = 112
 FRAME_SAMPLES = 224
 WINDOW = PREAMBLE_LEN + FRAME_SAMPLES
 
-_CHAR_CONVERT = (
-    "#ABCDEFGHIJKLMNOPQRSTUVWXYZ#####_###############0123456789######"
-)
+from airjax.protocol.fields import CHAR_CONVERT as _CHAR_CONVERT
 
 
 def make_df17(icao: int, me: bytes, capability: int = 5) -> bytes:

@@ -89,8 +89,15 @@ def decode_channels(
     block_len = n - halo if n > halo else 0
     if block_len <= 0:
         return [[] for _ in range(c)]
+    iq_dev = jnp.asarray(arr)
     step = build_channel_decoder(mesh, c, block_len, capacity, axis)
-    out = jax.device_get(step(jnp.asarray(arr)))
+    out = jax.device_get(step(iq_dev))
+    # Adaptive regrow: a per-channel detection storm must not silently
+    # truncate that channel's hits.
+    while bool(np.any(out["overflow"])) and capacity < block_len:
+        capacity = min(capacity * 4, block_len)
+        step = build_channel_decoder(mesh, c, block_len, capacity, axis)
+        out = jax.device_get(step(iq_dev))
 
     max_offset = n - WINDOW
     results = []

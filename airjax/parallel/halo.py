@@ -74,6 +74,7 @@ def build_sharded_decoder(
             "frames": res["frames"],
             "n_detections": res["n_detections"][None],
             "n_good": jnp.sum(res["good"] & in_range, dtype=jnp.int32)[None],
+            "overflow": res["overflow"][None],
         }
 
     sharded = jax.shard_map(
@@ -87,6 +88,7 @@ def build_sharded_decoder(
             "frames": PartitionSpec(axis, None),
             "n_detections": PartitionSpec(axis),
             "n_good": PartitionSpec(axis),
+            "overflow": PartitionSpec(axis),
         },
     )
 
@@ -103,6 +105,7 @@ def build_sharded_decoder(
             "frames": out["frames"],
             "n_detections": jnp.sum(out["n_detections"]),
             "n_good": jnp.sum(out["n_good"]),
+            "overflow": jnp.any(out["overflow"]),
         }
 
     return step
@@ -127,9 +130,17 @@ def decode_capture_sharded(
     n_dev = mesh.shape[axis]
     n = len(iq)
     padded_len = -(-n // n_dev) * n_dev
+    block = padded_len // n_dev
     arr = pad_iq_non_detecting(np.asarray(iq, dtype=np.int16), padded_len)
+    iq_dev = jnp.asarray(arr)
     step = build_sharded_decoder(mesh, padded_len, capacity_per_shard, axis)
-    out = jax.device_get(step(jnp.asarray(arr)))
+    out = jax.device_get(step(iq_dev))
+    # Adaptive regrow on per-shard capacity overflow — a detection storm in
+    # one shard must not silently truncate hits.
+    while bool(out["overflow"]) and capacity_per_shard < block:
+        capacity_per_shard = min(capacity_per_shard * 4, block)
+        step = build_sharded_decoder(mesh, padded_len, capacity_per_shard, axis)
+        out = jax.device_get(step(iq_dev))
 
     max_offset = n - WINDOW
     hits = []
@@ -143,5 +154,6 @@ def decode_capture_sharded(
     stats = {
         "n_detections": int(out["n_detections"]),
         "n_good": int(out["n_good"]),
+        "overflow": bool(out["overflow"]),
     }
     return hits, stats

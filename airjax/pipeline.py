@@ -266,7 +266,7 @@ def decode_capture_parity(
         import dataclasses
 
         scan_cfg = dataclasses.replace(cfg, block_len=max(chunk, 1 << 22))
-        whole, stats = decode_capture_overlap(
+        whole, scan_stats = decode_capture_overlap(
             np.asarray(iq[: n_chunks * chunk]), scan_cfg
         )
         hits = []
@@ -274,6 +274,16 @@ def decode_capture_parity(
             c, o = divmod(g, chunk)
             if o < n_off:
                 hits.append((c, o, frame, rec))
+        # Hit-level stats reflect the returned (chunk-filtered) hits;
+        # n_detections stays a whole-stream scan count (the fused scan
+        # cannot cheaply reproduce the per-chunk detection count, and
+        # the hits themselves are what parity is defined over).
+        stats = {
+            "n_detections": scan_stats["n_detections"],
+            "n_good": len(hits),
+            "n_recovered": sum(1 for h in hits if h[3]),
+            "overflow": scan_stats.get("overflow", False),
+        }
         return hits, stats
 
     blocks = np.asarray(iq[: n_chunks * chunk]).reshape(n_chunks, chunk, 2)

@@ -14,9 +14,7 @@ import enum
 import time
 from typing import Optional, Union
 
-_CHAR_CONVERT = (
-    "#ABCDEFGHIJKLMNOPQRSTUVWXYZ#####_###############0123456789######"
-)
+from airjax.protocol.fields import CHAR_CONVERT as _CHAR_CONVERT
 
 
 class CprFormat(enum.Enum):

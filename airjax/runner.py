@@ -81,13 +81,31 @@ def run_stream(
 
         icao_cache = IcaoCache()
     halo = WINDOW - 1
-    carry = np.zeros((halo, 2), dtype=np.int16) if overlap else None
+    # Initial carry uses the non-detecting (1,0)-magnitude pattern: a
+    # zero carry passes the equality-tolerant preamble gate at every
+    # offset and floods the candidate capacity with bogus detections
+    # (~214 per stream start, measured).
+    carry = None
+    if overlap:
+        carry = np.zeros((halo, 2), dtype=np.int16)
+        carry[::2, 0] = 1
     # Global sample index of carry[0]; first block's padded head is masked.
     global_base = -halo
+    pending = np.zeros((0, 2), dtype=np.int16)
 
     for block in Prefetcher(source, depth=prefetch_depth):
         block = np.asarray(block, dtype=np.int16)
+        if overlap and len(pending):
+            # Short reads (live SDR partial buffers) accumulate rather
+            # than being dropped, preserving stream continuity.
+            block = np.concatenate([pending, block], axis=0)
+            pending = pending[:0]
         if block.shape[0] < WINDOW:
+            if overlap:
+                pending = block
+            # parity mode: the reference cannot process blocks < 240
+            # samples at all (its offset range underflows), so skipping
+            # matches its only well-defined behavior
             continue
         if overlap:
             ext = np.concatenate([carry, block], axis=0)
@@ -99,11 +117,21 @@ def run_stream(
         now = time.time()
         emitted = 0
         if extended:
+            capacity = cfg.max_candidates
             out = jax.device_get(
                 decode_iq_block_extended(
-                    jax.numpy.asarray(ext), n_off, cfg.max_candidates
+                    jax.numpy.asarray(ext), n_off, capacity
                 )
             )
+            # Same adaptive overflow regrow as the parity path: dropped
+            # detections would silently lose frames.
+            while bool(out["overflow"]) and capacity < n_off:
+                capacity = min(capacity * 4, n_off)
+                out = jax.device_get(
+                    decode_iq_block_extended(
+                        jax.numpy.asarray(ext), n_off, capacity
+                    )
+                )
             for local, pkt in assemble_extended(out, now, icao_cache):
                 if overlap and global_base + local < 0:
                     continue

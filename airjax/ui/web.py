@@ -133,7 +133,9 @@ class WebDisplay:
             def _serve_static(self):
                 rel = self.path.lstrip("/") or "index.html"
                 target = (_STATIC_DIR / rel).resolve()
-                if not str(target).startswith(str(_STATIC_DIR.resolve())) or not target.is_file():
+                # Path.is_relative_to, NOT str.startswith: the latter
+                # would also match sibling dirs like `static_secret/`.
+                if not target.is_relative_to(_STATIC_DIR.resolve()) or not target.is_file():
                     self.send_error(404)
                     return
                 ctype = {
