@@ -148,7 +148,10 @@ def _cmd_adsb(args) -> int:
         from airjax.ui.web import WebDisplay
 
         display = WebDisplay(
-            DEFAULT_CONFIG.web_host, port=args.port, quiet=False
+            DEFAULT_CONFIG.web_host,
+            port=args.port,
+            quiet=False,
+            extended_schema=args.extended,
         )
         display.start_background()
         stats = run_stream(

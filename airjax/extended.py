@@ -27,13 +27,45 @@ from airjax.track.icao_cache import IcaoCache
 ExtendedPacket = Union[AdsbPacket, AllCallReply, SurveillanceReply]
 
 
+def _gillham_altitude_host(ac13: np.ndarray) -> int | None:
+    """Scalar Q=0 Gillham (100 ft gray) altitude — independent of the
+    vectorized decoder in airjax.protocol.shortframe (same oracle-diversity
+    rule as airjax.golden): gray decode by sequential XOR accumulation."""
+    c1, a1, c2, a2, c4, a4 = (int(b) for b in ac13[:6])
+    b1, b2, d2, b4, d4 = (int(ac13[i]) for i in (7, 9, 10, 11, 12))
+
+    def gray_seq(bits_msb_first: list[int]) -> int:
+        value = 0
+        acc = 0
+        for bit in bits_msb_first:
+            acc ^= bit
+            value = (value << 1) | acc
+        return value
+
+    ones = gray_seq([c1, c2, c4])
+    if (ones & 5) == 5:
+        ones ^= 2
+    if ones == 0 or ones > 5:
+        return None
+    fives = gray_seq([d2, d4, a1, a2, a4, b1, b2, b4])
+    if fives % 2:
+        ones = 6 - ones
+    return fives * 500 + ones * 100 - 1300
+
+
 def _short_fields_host(frame7: bytes) -> dict:
     """Scalar short/AP frame field decode (numpy-free host path)."""
     bits = np.unpackbits(np.frombuffer(frame7, np.uint8))
     ac13 = bits[19:32]
     n11 = np.concatenate([ac13[0:6], ac13[7:8], ac13[9:13]])
     n_val = int(n11.dot(1 << np.arange(10, -1, -1)))
-    alt_valid = ac13[6] == 0 and ac13[8] == 1
+    m_bit, q_bit = int(ac13[6]), int(ac13[8])
+    if m_bit != 0:
+        altitude = None  # metric encoding: unsupported, like dump1090
+    elif q_bit == 1:
+        altitude = n_val * 25 - 1000
+    else:
+        altitude = _gillham_altitude_host(ac13)
     c1, a1, c2, a2, c4, a4 = (int(b) for b in ac13[:6])
     b1, d1, b2, d2, b4, d4 = (int(b) for b in ac13[7:13])
     squawk = (
@@ -44,7 +76,7 @@ def _short_fields_host(frame7: bytes) -> dict:
     )
     return {
         "fs": int((frame7[0] & 0b111)),
-        "altitude_ft": (n_val * 25 - 1000) if alt_valid else None,
+        "altitude_ft": altitude,
         "squawk": squawk,
     }
 
@@ -70,7 +102,7 @@ def assemble_extended(
     for k in np.nonzero(good_long | good_df11)[0]:
         off = int(offsets[k])
         if good_long[k]:
-            pkt = AdsbPacket.from_bytes(frames[k].tobytes(), now)
+            pkt = AdsbPacket.from_bytes(frames[k].tobytes(), now, extensions=True)
             cache.add(pkt.icao, now)
             results.append((off, pkt))
         else:

@@ -85,6 +85,63 @@ def make_position_me(
     return bytes([m0, m1, m2, m3, m4, m5, m6])
 
 
+def make_velocity_me(
+    ew_kt: int = 0,
+    ns_kt: int = 0,
+    vertical_rate_fpm: int | None = None,
+    subtype: int = 1,
+    nac_v: int = 0,
+    intent_change: int = 0,
+    vr_source_gnss: bool = True,
+    gnss_baro_diff_ft: int | None = None,
+    heading_deg: float | None = None,
+    airspeed_kt: int | None = None,
+    airspeed_is_tas: bool = False,
+) -> bytes:
+    """Build a TC19 airborne-velocity ME field (inverse of
+    airjax.protocol.packet.AircraftVelocityMsg.from_me).
+
+    Subtype 1/2: `ew_kt`/`ns_kt` signed knots (east/north positive).
+    Subtype 3/4: `heading_deg` (None = heading unavailable) + `airspeed_kt`.
+    """
+    scale = 4 if subtype in (2, 4) else 1
+    if subtype in (1, 2):
+        sign_a = 1 if ew_kt < 0 else 0
+        val_a = abs(ew_kt) // scale + 1
+        sign_b = 1 if ns_kt < 0 else 0
+        val_b = abs(ns_kt) // scale + 1
+    else:
+        sign_a = 0 if heading_deg is None else 1
+        val_a = 0 if heading_deg is None else round(heading_deg * 1024 / 360) % 1024
+        sign_b = 1 if airspeed_is_tas else 0
+        val_b = 0 if airspeed_kt is None else airspeed_kt // scale + 1
+    if not (0 <= val_a < 1024 and 0 <= val_b < 1024):
+        raise ValueError("velocity field out of 10-bit range")
+    if vertical_rate_fpm is None:
+        vr_sign, vr_val = 0, 0
+    else:
+        vr_sign = 1 if vertical_rate_fpm < 0 else 0
+        vr_val = abs(vertical_rate_fpm) // 64 + 1
+    if gnss_baro_diff_ft is None:
+        gbd_sign, gbd_val = 0, 0
+    else:
+        gbd_sign = 1 if gnss_baro_diff_ft < 0 else 0
+        gbd_val = abs(gnss_baro_diff_ft) // 25 + 1
+    m0 = (19 << 3) | subtype
+    m1 = (intent_change << 7) | (nac_v << 3) | (sign_a << 2) | (val_a >> 8)
+    m2 = val_a & 0xFF
+    m3 = (sign_b << 7) | (val_b >> 3)
+    m4 = (
+        ((val_b & 0x7) << 5)
+        | ((0 if vr_source_gnss else 1) << 4)
+        | (vr_sign << 3)
+        | (vr_val >> 6)
+    )
+    m5 = (vr_val & 0x3F) << 2
+    m6 = (gbd_sign << 7) | gbd_val
+    return bytes([m0, m1, m2, m3, m4, m5, m6])
+
+
 def frame_to_pulses(frame: bytes) -> np.ndarray:
     """Frame bytes -> (16 + 2*nbits,) float in {0,1}: preamble + PPM pulses.
 

@@ -29,6 +29,8 @@ _CHAR_TABLE = np.frombuffer(CHAR_CONVERT.encode("ascii"), dtype=np.uint8)
 MSG_UNKNOWN = 0
 MSG_AIRCRAFT_ID = 1
 MSG_AIRCRAFT_POSITION = 2
+# Extension class (extended mode): the reference leaves TC19 Unknown.
+MSG_AIRCRAFT_VELOCITY = 3
 
 
 def extract_fields(frames: jnp.ndarray) -> dict[str, jnp.ndarray]:
@@ -90,6 +92,24 @@ def extract_fields(frames: jnp.ndarray) -> dict[str, jnp.ndarray]:
     )  # (..., 8)
     callsign_codes = jnp.asarray(_CHAR_TABLE)[chunks]  # (..., 8) uint8 ASCII
 
+    # --- TC19 airborne velocity raw fields (extension; reference classes
+    # TC19 Unknown). Sign+10-bit field pairs: subtype 1/2 = E-W / N-S
+    # ground velocity, subtype 3/4 = heading-status+heading / TAS+airspeed.
+    # Derived floats (speed, track) are host-side; these stay integer and
+    # branch-free. `msg_class_ext` adds the velocity class on top of the
+    # reference classing in `msg_class` (which is kept parity-exact). ---
+    vel_subtype = b4 & 0x7
+    vel_sign_a = (m1 >> 2) & 1
+    vel_val_a = ((m1 & 0x3) << 8) | m2
+    vel_sign_b = (m3 >> 7) & 1
+    vel_val_b = ((m3 & 0x7F) << 3) | (m4 >> 5)
+    vel_vr_source_baro = (m4 >> 4) & 1
+    vel_vr_sign = (m4 >> 3) & 1
+    vel_vr_val = ((m4 & 0x7) << 6) | (m5 >> 2)
+    vel_gbd_sign = (m6 >> 7) & 1
+    vel_gbd_val = m6 & 0x7F
+    msg_class_ext = jnp.where(msg_type == 19, MSG_AIRCRAFT_VELOCITY, msg_class)
+
     return {
         "df": df,
         "capability": capability,
@@ -105,6 +125,17 @@ def extract_fields(frames: jnp.ndarray) -> dict[str, jnp.ndarray]:
         "cpr_lat": cpr_lat,
         "cpr_lon": cpr_lon,
         "callsign_codes": callsign_codes,
+        "msg_class_ext": msg_class_ext,
+        "vel_subtype": vel_subtype,
+        "vel_sign_a": vel_sign_a,
+        "vel_val_a": vel_val_a,
+        "vel_sign_b": vel_sign_b,
+        "vel_val_b": vel_val_b,
+        "vel_vr_source_baro": vel_vr_source_baro,
+        "vel_vr_sign": vel_vr_sign,
+        "vel_vr_val": vel_vr_val,
+        "vel_gbd_sign": vel_gbd_sign,
+        "vel_gbd_val": vel_gbd_val,
     }
 
 

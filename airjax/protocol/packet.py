@@ -113,7 +113,123 @@ class AircraftPositionMsg:
         )
 
 
-AdsbMsg = Union[AircraftId, AircraftPositionMsg, UnknownMsg]
+@dataclasses.dataclass
+class AircraftVelocityMsg:
+    """TC19 airborne velocity — extension beyond the reference (which
+    classes TC19 as Unknown, src/adsb/packet.rs:36-38; its TUI velocity
+    column is hardwired "n/a", src/adsb/tui.rs:77). Decoded only in
+    extended mode so default-mode display output stays reference-parity.
+
+    Subtypes 1/2 carry ground velocity (E-W / N-S components; subtype 2 is
+    the supersonic encoding, x4); subtypes 3/4 carry airspeed + magnetic
+    heading. All subtypes carry a baro/GNSS vertical rate and the
+    GNSS-baro altitude delta.
+    """
+
+    msg_type: int
+    subtype: int
+    intent_change: int
+    nac_v: int
+    # Subtype 1/2 (ground velocity); None when unavailable or subtype 3/4.
+    ground_speed_kt: Optional[float]
+    track_deg: Optional[float]
+    # Subtype 3/4 (air velocity); None when unavailable or subtype 1/2.
+    heading_deg: Optional[float]
+    airspeed_kt: Optional[int]
+    airspeed_is_tas: bool
+    # All subtypes.
+    vertical_rate_fpm: Optional[int]
+    vr_source_gnss: bool
+    gnss_baro_diff_ft: Optional[int]
+
+    @classmethod
+    def from_me(cls, me: bytes) -> "AircraftVelocityMsg":
+        import math
+
+        subtype = me[0] & 0x7
+        supersonic = subtype in (2, 4)
+        scale = 4 if supersonic else 1
+
+        intent_change = (me[1] >> 7) & 1
+        nac_v = (me[1] >> 3) & 0x7
+
+        # Bits 14-24 / 25-35 of the ME field (1-indexed): two sign+10-bit
+        # velocity fields spanning me[1..4].
+        sign_a = (me[1] >> 2) & 1
+        val_a = ((me[1] & 0x3) << 8) | me[2]  # 10 bits
+        sign_b = (me[3] >> 7) & 1
+        val_b = ((me[3] & 0x7F) << 3) | (me[4] >> 5)  # 10 bits
+
+        ground_speed_kt = track_deg = None
+        heading_deg = None
+        airspeed_kt = None
+        airspeed_is_tas = False
+        if subtype in (1, 2):
+            if val_a != 0 and val_b != 0:
+                # value 0 = no data; speed = (value-1) kt, sign 1 = west/south
+                vx = (val_a - 1) * scale * (-1 if sign_a else 1)  # east+
+                vy = (val_b - 1) * scale * (-1 if sign_b else 1)  # north+
+                ground_speed_kt = math.hypot(vx, vy)
+                track_deg = math.degrees(math.atan2(vx, vy)) % 360.0
+        elif subtype in (3, 4):
+            if sign_a:  # heading status bit
+                heading_deg = val_a * 360.0 / 1024.0
+            airspeed_is_tas = bool(sign_b)
+            if val_b != 0:
+                airspeed_kt = (val_b - 1) * scale
+
+        # Vertical rate: bit 36 source, 37 sign, 38-46 value (9 bits).
+        vr_source_gnss = ((me[4] >> 4) & 1) == 0
+        vr_sign = (me[4] >> 3) & 1
+        vr_val = ((me[4] & 0x7) << 6) | (me[5] >> 2)
+        vertical_rate_fpm = (
+            None if vr_val == 0 else (vr_val - 1) * 64 * (-1 if vr_sign else 1)
+        )
+
+        # GNSS height minus baro altitude: bit 49 sign, 50-56 value (7 bits).
+        gbd_sign = (me[6] >> 7) & 1
+        gbd_val = me[6] & 0x7F
+        gnss_baro_diff_ft = (
+            None if gbd_val == 0 else (gbd_val - 1) * 25 * (-1 if gbd_sign else 1)
+        )
+
+        return cls(
+            msg_type=(me[0] & 0xF8) >> 3,
+            subtype=subtype,
+            intent_change=intent_change,
+            nac_v=nac_v,
+            ground_speed_kt=ground_speed_kt,
+            track_deg=track_deg,
+            heading_deg=heading_deg,
+            airspeed_kt=airspeed_kt,
+            airspeed_is_tas=airspeed_is_tas,
+            vertical_rate_fpm=vertical_rate_fpm,
+            vr_source_gnss=vr_source_gnss,
+            gnss_baro_diff_ft=gnss_baro_diff_ft,
+        )
+
+    def format(self) -> str:
+        lines = [
+            "Message:",
+            f"Type                : {self.msg_type} (Velocity, subtype {self.subtype})",
+        ]
+        if self.ground_speed_kt is not None:
+            lines.append(f"Ground Speed (kt)   : {self.ground_speed_kt:.1f}")
+            lines.append(f"Track (deg)         : {self.track_deg:.1f}")
+        if self.airspeed_kt is not None:
+            kind = "TAS" if self.airspeed_is_tas else "IAS"
+            lines.append(f"Airspeed {kind} (kt)  : {self.airspeed_kt}")
+        if self.heading_deg is not None:
+            lines.append(f"Heading (deg)       : {self.heading_deg:.1f}")
+        if self.vertical_rate_fpm is not None:
+            src = "GNSS" if self.vr_source_gnss else "Baro"
+            lines.append(f"Vertical Rate (fpm) : {self.vertical_rate_fpm} ({src})")
+        if self.gnss_baro_diff_ft is not None:
+            lines.append(f"GNSS-Baro Alt (ft)  : {self.gnss_baro_diff_ft}")
+        return "\n".join(lines) + "\n"
+
+
+AdsbMsg = Union[AircraftId, AircraftPositionMsg, AircraftVelocityMsg, UnknownMsg]
 
 
 # --- Extension: non-DF17 Mode S frames (see airjax.protocol.shortframe;
@@ -176,9 +292,14 @@ class AdsbPacket:
 
     @classmethod
     def from_bytes(
-        cls, packet: bytes, time_processed: float | None = None
+        cls,
+        packet: bytes,
+        time_processed: float | None = None,
+        extensions: bool = False,
     ) -> "AdsbPacket":
-        # src/adsb/packet.rs:25-49
+        # src/adsb/packet.rs:25-49. With extensions=True (extended decode
+        # mode only) TC19 becomes a typed velocity message instead of the
+        # reference's Unknown; default output stays reference-parity.
         packet = bytes(packet)
         msg_type = packet[4] >> 3
         me = packet[4:11]
@@ -187,6 +308,8 @@ class AdsbPacket:
             msg = AircraftId.from_me(me)
         elif 9 <= msg_type <= 18:
             msg = AircraftPositionMsg.from_me(me)
+        elif extensions and msg_type == 19:
+            msg = AircraftVelocityMsg.from_me(me)
         else:
             msg = UnknownMsg(raw_msg=packet[4:])
         return cls(
@@ -200,8 +323,13 @@ class AdsbPacket:
         )
 
     @classmethod
-    def from_hex(cls, hex_str: str, time_processed: float | None = None) -> "AdsbPacket":
-        return cls.from_bytes(bytes.fromhex(hex_str), time_processed)
+    def from_hex(
+        cls,
+        hex_str: str,
+        time_processed: float | None = None,
+        extensions: bool = False,
+    ) -> "AdsbPacket":
+        return cls.from_bytes(bytes.fromhex(hex_str), time_processed, extensions)
 
     def format(self) -> str:
         """Replicates the reference Display impl (src/adsb/packet.rs:77-99)."""

@@ -96,11 +96,14 @@ def extract_short_fields(bits56: jnp.ndarray) -> dict[str, jnp.ndarray]:
     icao_ap = crc_calc ^ parity_field
 
     # --- AC13 altitude (bits 19..31): bit layout with M at AC bit 6 and
-    # Q at AC bit 8 (ICAO Annex 10 v4 3.1.2.6.5.4) ---
+    # Q at AC bit 8 (ICAO Annex 10 v4 3.1.2.6.5.4). Transmitted order:
+    # C1 A1 C2 A2 C4 A4 M B1 Q B2 D2 B4 D4. Q=1 -> 25 ft binary; Q=0 ->
+    # 100 ft Gillham gray code (extension beyond the reference, which
+    # decodes no short frames at all). ---
     ac13 = b[..., 19:32]  # (..., 13)
     m_bit = ac13[..., 6]
     q_bit = ac13[..., 8]
-    # N = the 11 bits of AC13 minus M and Q, MSB first.
+    # N = the 11 bits of AC13 minus M and Q, MSB first (Q=1 binary path).
     n11 = jnp.concatenate(
         [
             ac13[..., 0:6],
@@ -110,8 +113,31 @@ def extract_short_fields(bits56: jnp.ndarray) -> dict[str, jnp.ndarray]:
         axis=-1,
     )
     n_val = pack_bits_msbfirst(n11, 11).astype(jnp.int32)
-    altitude_ft = n_val * 25 - 1000
-    altitude_valid = (m_bit == 0) & (q_bit == 1)
+    alt_q1 = n_val * 25 - 1000
+
+    # Gillham (Q=0): 3-bit reflected gray C1 C2 C4 counts 100s within a
+    # 500 ft band; 8-bit gray D2 D4 A1 A2 A4 B1 B2 B4 counts 500s.
+    def gray2bin(g: jnp.ndarray) -> jnp.ndarray:
+        g = g ^ (g >> 4)
+        g = g ^ (g >> 2)
+        return g ^ (g >> 1)
+
+    c1, a1, c2, a2, c4, a4 = (ac13[..., i] for i in range(6))
+    b1, b2, d2, b4, d4 = (ac13[..., i] for i in (7, 9, 10, 11, 12))
+    c_gray = (c1 << 2) | (c2 << 1) | c4
+    f_gray = (
+        (d2 << 7) | (d4 << 6) | (a1 << 5) | (a2 << 4)
+        | (a4 << 3) | (b1 << 2) | (b2 << 1) | b4
+    )
+    ones = gray2bin(c_gray)
+    ones = jnp.where((ones & 5) == 5, ones ^ 2, ones)  # 7<->5 remap
+    fives = gray2bin(f_gray)
+    gillham_ok = (c_gray != 0) & (ones >= 1) & (ones <= 5)
+    ones = jnp.where((fives & 1) == 1, 6 - ones, ones)  # reflection
+    alt_q0 = fives * 500 + ones * 100 - 1300
+
+    altitude_ft = jnp.where(q_bit == 1, alt_q1, alt_q0)
+    altitude_valid = (m_bit == 0) & ((q_bit == 1) | gillham_ok)
 
     # --- ID13 squawk (same bit positions as AC13): order
     # C1 A1 C2 A2 C4 A4 X B1 D1 B2 D2 B4 D4 ---
@@ -164,6 +190,36 @@ def _ac13_from_altitude(altitude_ft: int) -> int:
     return (hi6 << 7) | (0 << 6) | (mid1 << 5) | (1 << 4) | lo4
 
 
+def _ac13_gillham_from_altitude(altitude_ft: int) -> int:
+    """Q=0 (100 ft Gillham gray) AC13 encoding — inverse of the decode in
+    extract_short_fields. altitude must be a multiple of 100 in
+    [-1200, 126700]."""
+    if altitude_ft % 100 or not -1200 <= altitude_ft <= 126700:
+        raise ValueError("altitude out of Gillham range / not a 100 ft step")
+    total = altitude_ft // 100 + 13
+    ones = (total - 1) % 5 + 1  # 1..5
+    fives = (total - ones) // 5
+    c_val = 6 - ones if fives & 1 else ones
+    if c_val == 5:
+        c_val = 7  # inverse of the decoder's 7->5 remap
+    c_gray = c_val ^ (c_val >> 1)
+    f_gray = fives ^ (fives >> 1)
+    c1, c2, c4 = (c_gray >> 2) & 1, (c_gray >> 1) & 1, c_gray & 1
+    d2 = (f_gray >> 7) & 1
+    d4 = (f_gray >> 6) & 1
+    a1 = (f_gray >> 5) & 1
+    a2 = (f_gray >> 4) & 1
+    a4 = (f_gray >> 3) & 1
+    b1 = (f_gray >> 2) & 1
+    b2 = (f_gray >> 1) & 1
+    b4 = f_gray & 1
+    bits = [c1, a1, c2, a2, c4, a4, 0, b1, 0, b2, d2, b4, d4]  # M=0, Q=0
+    v = 0
+    for bit in bits:
+        v = (v << 1) | bit
+    return v
+
+
 def _id13_from_squawk(squawk: int) -> int:
     digits = [int(d) for d in f"{squawk:04d}"]
     a, b_, c, d = digits
@@ -179,9 +235,16 @@ def _id13_from_squawk(squawk: int) -> int:
     return v
 
 
-def make_df4(icao: int, altitude_ft: int, fs: int = 0, dr: int = 0, um: int = 0) -> bytes:
+def make_df4(
+    icao: int, altitude_ft: int, fs: int = 0, dr: int = 0, um: int = 0,
+    gillham: bool = False,
+) -> bytes:
     """Assemble a 7-byte DF4 altitude reply addressed to `icao` (AP)."""
-    ac13 = _ac13_from_altitude(altitude_ft)
+    ac13 = (
+        _ac13_gillham_from_altitude(altitude_ft)
+        if gillham
+        else _ac13_from_altitude(altitude_ft)
+    )
     word = (4 << 27) | (fs << 24) | (dr << 19) | (um << 13) | ac13
     body = word.to_bytes(4, "big")
     ap = crc24(body) ^ icao
@@ -198,12 +261,17 @@ def make_df5(icao: int, squawk: int, fs: int = 0, dr: int = 0, um: int = 0) -> b
 
 
 def make_df20(
-    icao: int, altitude_ft: int, mb: bytes = b"\x00" * 7, fs: int = 0, dr: int = 0, um: int = 0
+    icao: int, altitude_ft: int, mb: bytes = b"\x00" * 7, fs: int = 0, dr: int = 0, um: int = 0,
+    gillham: bool = False,
 ) -> bytes:
     """Assemble a 14-byte DF20 Comm-B altitude reply addressed via AP."""
     if len(mb) != 7:
         raise ValueError("MB field must be 7 bytes")
-    ac13 = _ac13_from_altitude(altitude_ft)
+    ac13 = (
+        _ac13_gillham_from_altitude(altitude_ft)
+        if gillham
+        else _ac13_from_altitude(altitude_ft)
+    )
     word = (20 << 27) | (fs << 24) | (dr << 19) | (um << 13) | ac13
     body = word.to_bytes(4, "big") + mb
     ap = crc24(body) ^ icao

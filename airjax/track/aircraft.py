@@ -17,6 +17,7 @@ from airjax.protocol.packet import (
     AdsbPacket,
     AircraftId,
     AircraftPositionMsg,
+    AircraftVelocityMsg,
     CprFormat,
 )
 from airjax.track.cpr import GeographicPosition, calculate_geographic_position
@@ -37,9 +38,14 @@ class AircraftSummary:
     altitude: int
     geo_position: Optional[GeographicPosition]
     last_contact: int  # epoch seconds
+    # Extension fields (extended mode only; None in parity mode).
+    ground_speed_kt: Optional[float] = None
+    track_deg: Optional[float] = None
+    vertical_rate_fpm: Optional[int] = None
+    squawk: Optional[int] = None
 
-    def to_json(self) -> dict:
-        return {
+    def to_json(self, extended: bool = False) -> dict:
+        out = {
             "icao": self.icao,
             "callsign": self.callsign,
             "altitude": self.altitude,
@@ -48,6 +54,16 @@ class AircraftSummary:
             ),
             "lastContact": self.last_contact,
         }
+        if extended:
+            # Extra keys beyond bindings/AircraftSummary.ts — only emitted
+            # in extended mode so the default WS schema stays reference-
+            # exact (unknown keys are ignored by the reference frontend
+            # anyway, but parity mode shouldn't rely on that).
+            out["groundSpeedKt"] = self.ground_speed_kt
+            out["trackDeg"] = self.track_deg
+            out["verticalRateFpm"] = self.vertical_rate_fpm
+            out["squawk"] = self.squawk
+        return out
 
 
 class Aircraft:
@@ -58,6 +74,11 @@ class Aircraft:
         self.icao = icao
         self.callsign: Optional[str] = None
         self.squawk: Optional[int] = None  # extension (DF5/21 identity)
+        # Extension (TC19 velocity; the reference never decodes velocity
+        # and its TUI column is hardwired "n/a", src/adsb/tui.rs:77).
+        self.ground_speed_kt: Optional[float] = None
+        self.track_deg: Optional[float] = None
+        self.vertical_rate_fpm: Optional[int] = None
         self.altitude = 0
         self.geo_position: Optional[GeographicPosition] = None
         self.last_contact = now
@@ -107,6 +128,16 @@ class Aircraft:
                 self.geo_position = geo
         elif isinstance(msg.msg, AircraftId):
             self.callsign = msg.msg.callsign
+        elif isinstance(msg.msg, AircraftVelocityMsg):
+            # Extension: only reachable in extended mode (parity-mode
+            # packets never carry this type).
+            vel = msg.msg
+            self.last_contact = msg.time_processed
+            if vel.ground_speed_kt is not None:
+                self.ground_speed_kt = vel.ground_speed_kt
+                self.track_deg = vel.track_deg
+            if vel.vertical_rate_fpm is not None:
+                self.vertical_rate_fpm = vel.vertical_rate_fpm
         # Unknown messages: ignored (src/adsb/aircraft.rs:107-109)
 
     def get_callsign(self) -> str:
@@ -122,6 +153,10 @@ class Aircraft:
             altitude=self.altitude,
             geo_position=self.geo_position,
             last_contact=int(self.last_contact),
+            ground_speed_kt=self.ground_speed_kt,
+            track_deg=self.track_deg,
+            vertical_rate_fpm=self.vertical_rate_fpm,
+            squawk=self.squawk,
         )
 
 

@@ -45,13 +45,17 @@ class TuiApp:
         planes = sorted(self.aircrafts.values(), key=lambda a: a.get_age())
         for plane in planes:
             pos = plane.geo_position
+            # Velocity fills in only when a TC19 message has been decoded
+            # (extended mode); otherwise "n/a" like the reference's
+            # hardwired column (src/adsb/tui.rs:77).
+            vel = plane.ground_speed_kt
             yield [
                 f"{plane.icao:x}",
                 plane.get_callsign(),
                 str(plane.altitude),
                 f"{pos.latitude:.6f}" if pos else "n/a",
                 f"{pos.longitude:.6f}" if pos else "n/a",
-                "n/a",
+                f"{vel:.0f} kt" if vel is not None else "n/a",
                 str(plane.get_age()),
             ]
 

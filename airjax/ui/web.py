@@ -74,10 +74,19 @@ class _Broadcast:
 class WebDisplay:
     """Aircraft tracker + web server; `on_packet` is the pipeline sink."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 8080, quiet: bool = False):
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 8080,
+        quiet: bool = False,
+        extended_schema: bool = False,
+    ):
         self.host = host
         self.port = port
         self.quiet = quiet
+        # extended_schema adds velocity/squawk keys to the JSON (extended
+        # decode mode); default stays bindings/AircraftSummary.ts-exact.
+        self.extended_schema = extended_schema
         self.aircrafts: dict[int, Aircraft] = {}
         self.broadcast = _Broadcast()
         self._lock = threading.Lock()
@@ -89,7 +98,11 @@ class WebDisplay:
 
         with self._lock:
             handle_extended_update(packet, self.aircrafts)
-            summary = self.aircrafts[packet.icao].get_summary().to_json()
+            summary = (
+                self.aircrafts[packet.icao]
+                .get_summary()
+                .to_json(extended=self.extended_schema)
+            )
         msg = json.dumps(summary)
         if not self.quiet:
             print(f"Broadcasting aircraft summary: {msg}")
@@ -97,7 +110,10 @@ class WebDisplay:
 
     def snapshot(self) -> list[dict]:
         with self._lock:
-            return [a.get_summary().to_json() for a in self.aircrafts.values()]
+            return [
+                a.get_summary().to_json(extended=self.extended_schema)
+                for a in self.aircrafts.values()
+            ]
 
     # --- server ---
     def serve_forever(self) -> None:
