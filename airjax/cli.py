@@ -117,6 +117,9 @@ def _cmd_adsb(args) -> int:
             return 1
 
     overlap = not args.no_overlap
+    ref_position = None
+    if args.ref_lat is not None and args.ref_lon is not None:
+        ref_position = (args.ref_lat, args.ref_lon)
 
     # --- display sink (src/adsb.rs:149-167) ---
     if args.mode == "stream":
@@ -134,7 +137,7 @@ def _cmd_adsb(args) -> int:
 
         from airjax.ui.tui import TuiApp, interactive_display
 
-        app = TuiApp()
+        app = TuiApp(ref_position=ref_position)
         decode_thread = threading.Thread(
             target=run_stream,
             args=(source, app.on_packet),
@@ -152,6 +155,7 @@ def _cmd_adsb(args) -> int:
             port=args.port,
             quiet=False,
             extended_schema=args.extended,
+            ref_position=ref_position,
         )
         display.start_background()
         stats = run_stream(
@@ -208,6 +212,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--extended",
         action="store_true",
         help="decode all Mode S downlink formats (DF4/5/11/20/21), not just DF17",
+    )
+    adsb.add_argument(
+        "--ref-lat", type=float, default=None,
+        help="receiver latitude (enables surface-position decode)",
+    )
+    adsb.add_argument(
+        "--ref-lon", type=float, default=None,
+        help="receiver longitude (enables surface-position decode)",
     )
 
     return parser

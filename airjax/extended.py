@@ -140,13 +140,16 @@ def assemble_extended(
     return results
 
 
-def handle_extended_update(packet: ExtendedPacket, aircrafts: dict) -> None:
+def handle_extended_update(
+    packet: ExtendedPacket, aircrafts: dict, ref_position=None
+) -> None:
     """Feed extension packets into the aircraft table (AdsbPacket goes
-    through the standard reference-parity path)."""
+    through the standard reference-parity path). `ref_position`
+    (receiver lat, lon) enables surface-position decode."""
     from airjax.track.aircraft import Aircraft, handle_aircraft_update
 
     if isinstance(packet, AdsbPacket):
-        handle_aircraft_update(packet, aircrafts)
+        handle_aircraft_update(packet, aircrafts, ref_position=ref_position)
         return
     aircraft = aircrafts.setdefault(packet.icao, Aircraft(packet.icao))
     aircraft.last_contact = packet.time_processed

@@ -142,6 +142,107 @@ def make_velocity_me(
     return bytes([m0, m1, m2, m3, m4, m5, m6])
 
 
+def encode_movement(speed_kt: float | None) -> int:
+    """Inverse of airjax.protocol.packet.decode_movement_kt (nearest code)."""
+    if speed_kt is None:
+        return 0
+    if speed_kt <= 0:
+        return 1
+    if speed_kt < 1:
+        return 2 + round((speed_kt - 0.125) / 0.125)
+    if speed_kt < 2:
+        return 9 + round((speed_kt - 1.0) / 0.25)
+    if speed_kt < 15:
+        return 13 + round((speed_kt - 2.0) / 0.5)
+    if speed_kt < 70:
+        return 39 + round(speed_kt - 15.0)
+    if speed_kt < 100:
+        return 94 + round((speed_kt - 70.0) / 2.0)
+    if speed_kt < 175:
+        return 109 + round((speed_kt - 100.0) / 5.0)
+    return 124
+
+
+def encode_surface_cpr(lat: float, lon: float, odd: bool) -> tuple[int, int]:
+    """Spec CPR surface encoding (90-degree zones) -> (lat17, lon17)."""
+    import math
+
+    from airjax.track.cpr import calc_num_zones
+
+    dlat = 90.0 / 59.0 if odd else 90.0 / 60.0
+    yz = math.floor(131072.0 * (lat % dlat) / dlat + 0.5) % 131072
+    rlat = dlat * (yz / 131072.0 + math.floor(lat / dlat))
+    n = max(calc_num_zones(rlat) - (1 if odd else 0), 1)
+    dlon = 90.0 / n
+    xz = math.floor(131072.0 * (lon % dlon) / dlon + 0.5) % 131072
+    return yz, xz
+
+
+def make_surface_me(
+    lat: float,
+    lon: float,
+    odd: bool,
+    tc: int = 7,
+    speed_kt: float | None = None,
+    track_deg: float | None = None,
+    cpr_time: int = 0,
+) -> bytes:
+    """Build a TC5-8 surface-position ME field (extension)."""
+    lat17, lon17 = encode_surface_cpr(lat, lon, odd)
+    movement = encode_movement(speed_kt)
+    track_valid = 0 if track_deg is None else 1
+    track7 = 0 if track_deg is None else round(track_deg * 128.0 / 360.0) % 128
+    m0 = (tc << 3) | (movement >> 4)
+    m1 = ((movement & 0xF) << 4) | (track_valid << 3) | (track7 >> 4)
+    m2 = (
+        ((track7 & 0xF) << 4)
+        | (cpr_time << 3)
+        | ((1 if odd else 0) << 2)
+        | ((lat17 >> 15) & 0b11)
+    )
+    m3 = (lat17 >> 7) & 0xFF
+    m4 = ((lat17 & 0x7F) << 1) | ((lon17 >> 16) & 1)
+    m5 = (lon17 >> 8) & 0xFF
+    m6 = lon17 & 0xFF
+    return bytes([m0, m1, m2, m3, m4, m5, m6])
+
+
+def make_status_me(squawk: int, emergency_state: int = 0) -> bytes:
+    """Build a TC28 subtype-1 aircraft-status ME field."""
+    from airjax.protocol.shortframe import _id13_from_squawk
+
+    id13 = _id13_from_squawk(squawk)
+    return bytes(
+        [(28 << 3) | 1, (emergency_state << 5) | (id13 >> 8), id13 & 0xFF, 0, 0, 0, 0]
+    )
+
+
+def make_opstatus_me(
+    version: int = 2,
+    nac_p: int = 9,
+    sil: int = 3,
+    surface: bool = False,
+    capability_class: int = 0,
+    operational_mode: int = 0,
+    lw_code: int = 0,
+    nic_a: int = 0,
+    hrd_magnetic: int = 0,
+) -> bytes:
+    """Build a TC31 operational-status ME field."""
+    cc16 = ((capability_class << 4) | lw_code) if surface else capability_class
+    return bytes(
+        [
+            (31 << 3) | (1 if surface else 0),
+            cc16 >> 8,
+            cc16 & 0xFF,
+            operational_mode >> 8,
+            operational_mode & 0xFF,
+            (version << 5) | (nic_a << 4) | nac_p,
+            (sil << 4) | (hrd_magnetic << 2),
+        ]
+    )
+
+
 def frame_to_pulses(frame: bytes) -> np.ndarray:
     """Frame bytes -> (16 + 2*nbits,) float in {0,1}: preamble + PPM pulses.
 

@@ -229,7 +229,209 @@ class AircraftVelocityMsg:
         return "\n".join(lines) + "\n"
 
 
-AdsbMsg = Union[AircraftId, AircraftPositionMsg, AircraftVelocityMsg, UnknownMsg]
+def decode_movement_kt(movement: int) -> Optional[float]:
+    """TC5-8 7-bit ground-movement field -> speed in knots (piecewise
+    nonlinear encoding; DO-260B Table 2-19). None = no information."""
+    if movement == 0 or movement >= 125:
+        return None
+    if movement == 1:
+        return 0.0
+    if movement <= 8:
+        return 0.125 + (movement - 2) * 0.125
+    if movement <= 12:
+        return 1.0 + (movement - 9) * 0.25
+    if movement <= 38:
+        return 2.0 + (movement - 13) * 0.5
+    if movement <= 93:
+        return 15.0 + (movement - 39) * 1.0
+    if movement <= 108:
+        return 70.0 + (movement - 94) * 2.0
+    if movement <= 123:
+        return 100.0 + (movement - 109) * 5.0
+    return 175.0  # 124: >= 175 kt
+
+
+@dataclasses.dataclass
+class SurfacePositionMsg:
+    """TC5-8 surface position — extension (reference classes these
+    Unknown; its position decode covers TC9-18 only,
+    src/adsb/packet.rs:34-35)."""
+
+    msg_type: int
+    movement_kt: Optional[float]
+    track_deg: Optional[float]  # None when track status bit is 0
+    cpr_time: int
+    cpr_format: CprFormat
+    cpr_latitude: int
+    cpr_longitude: int
+
+    @classmethod
+    def from_me(cls, me: bytes) -> "SurfacePositionMsg":
+        movement = ((me[0] & 0x7) << 4) | (me[1] >> 4)
+        track_valid = (me[1] >> 3) & 1
+        track7 = ((me[1] & 0x7) << 4) | (me[2] >> 4)
+        return cls(
+            msg_type=(me[0] & 0xF8) >> 3,
+            movement_kt=decode_movement_kt(movement),
+            track_deg=track7 * 360.0 / 128.0 if track_valid else None,
+            cpr_time=(me[2] & 0b1000) >> 3,
+            cpr_format=CprFormat.ODD if (me[2] & 0b100) >> 2 else CprFormat.EVEN,
+            cpr_latitude=((me[2] & 0b11) << 15)
+            | (me[3] << 7)
+            | ((me[4] & 0xFE) >> 1),
+            cpr_longitude=((me[4] & 1) << 16) | (me[5] << 8) | me[6],
+        )
+
+    def format(self) -> str:
+        fmt = "Odd" if self.cpr_format is CprFormat.ODD else "Even"
+        mov = f"{self.movement_kt:g} kt" if self.movement_kt is not None else "n/a"
+        trk = f"{self.track_deg:.1f}" if self.track_deg is not None else "n/a"
+        return (
+            "Message:\n"
+            f"Type                : {self.msg_type} (Surface position)\n"
+            f"Movement            : {mov}\n"
+            f"Ground Track (deg)  : {trk}\n"
+            f"CPR Format          : {fmt}\n"
+            f"Raw Latitude        : {self.cpr_latitude}\n"
+            f"Raw Longitude       : {self.cpr_longitude}\n"
+        )
+
+
+_ID13_BIT_ORDER = (
+    # (digit, weight) per ID13 bit, transmitted order
+    # C1 A1 C2 A2 C4 A4 X B1 D1 B2 D2 B4 D4
+    ("c", 1), ("a", 1), ("c", 2), ("a", 2), ("c", 4), ("a", 4), (None, 0),
+    ("b", 1), ("d", 1), ("b", 2), ("d", 2), ("b", 4), ("d", 4),
+)
+
+
+def squawk_from_id13(id13: int) -> int:
+    """13-bit interleaved identity field -> 4-digit Mode A code."""
+    digits = {"a": 0, "b": 0, "c": 0, "d": 0}
+    for i, (digit, weight) in enumerate(_ID13_BIT_ORDER):
+        if digit is not None and (id13 >> (12 - i)) & 1:
+            digits[digit] |= weight
+    return digits["a"] * 1000 + digits["b"] * 100 + digits["c"] * 10 + digits["d"]
+
+
+EMERGENCY_STATES = (
+    "none",
+    "general",
+    "lifeguard/medical",
+    "minimum fuel",
+    "no communications",
+    "unlawful interference",
+    "downed aircraft",
+    "reserved",
+)
+
+
+@dataclasses.dataclass
+class AircraftStatusMsg:
+    """TC28 aircraft status — extension (reference classes TC28 Unknown).
+
+    Subtype 1 carries the emergency/priority state and the Mode A
+    (squawk) code; other subtypes are kept raw.
+    """
+
+    msg_type: int
+    subtype: int
+    emergency_state: Optional[int]  # subtype 1 only
+    squawk: Optional[int]  # subtype 1 only
+
+    @classmethod
+    def from_me(cls, me: bytes) -> "AircraftStatusMsg":
+        subtype = me[0] & 0x7
+        emergency_state = squawk = None
+        if subtype == 1:
+            emergency_state = me[1] >> 5
+            id13 = ((me[1] & 0x1F) << 8) | me[2]
+            squawk = squawk_from_id13(id13)
+        return cls(
+            msg_type=(me[0] & 0xF8) >> 3,
+            subtype=subtype,
+            emergency_state=emergency_state,
+            squawk=squawk,
+        )
+
+    def format(self) -> str:
+        lines = [
+            "Message:",
+            f"Type                : {self.msg_type} (Status, subtype {self.subtype})",
+        ]
+        if self.emergency_state is not None:
+            lines.append(
+                f"Emergency           : {EMERGENCY_STATES[self.emergency_state]}"
+            )
+            lines.append(f"Squawk              : {self.squawk:04d}")
+        return "\n".join(lines) + "\n"
+
+
+@dataclasses.dataclass
+class OperationalStatusMsg:
+    """TC31 operational status — extension (reference classes TC31 Unknown).
+
+    Subtype 0 = airborne (16-bit capability class), subtype 1 = surface
+    (12-bit capability class + 4-bit length/width code).
+    """
+
+    msg_type: int
+    subtype: int
+    capability_class: int
+    lw_code: Optional[int]  # surface only
+    operational_mode: int
+    adsb_version: int
+    nic_supplement_a: int
+    nac_p: int
+    gva: Optional[int]  # airborne only (surface: reserved)
+    sil: int
+    nic_baro: Optional[int]  # airborne; surface has track/heading flag here
+    track_heading_valid: Optional[int]  # surface only
+    hrd_magnetic: int  # 0 = true north, 1 = magnetic north
+    sil_supplement: int
+
+    @classmethod
+    def from_me(cls, me: bytes) -> "OperationalStatusMsg":
+        subtype = me[0] & 0x7
+        surface = subtype == 1
+        cc16 = (me[1] << 8) | me[2]
+        return cls(
+            msg_type=(me[0] & 0xF8) >> 3,
+            subtype=subtype,
+            capability_class=(cc16 >> 4) if surface else cc16,
+            lw_code=(cc16 & 0xF) if surface else None,
+            operational_mode=(me[3] << 8) | me[4],
+            adsb_version=me[5] >> 5,
+            nic_supplement_a=(me[5] >> 4) & 1,
+            nac_p=me[5] & 0xF,
+            gva=None if surface else me[6] >> 6,
+            sil=(me[6] >> 4) & 0x3,
+            nic_baro=None if surface else (me[6] >> 3) & 1,
+            track_heading_valid=((me[6] >> 3) & 1) if surface else None,
+            hrd_magnetic=(me[6] >> 2) & 1,
+            sil_supplement=(me[6] >> 1) & 1,
+        )
+
+    def format(self) -> str:
+        kind = "surface" if self.subtype == 1 else "airborne"
+        return (
+            "Message:\n"
+            f"Type                : {self.msg_type} (Operational status, {kind})\n"
+            f"ADS-B Version       : {self.adsb_version}\n"
+            f"NACp                : {self.nac_p}\n"
+            f"SIL                 : {self.sil}\n"
+        )
+
+
+AdsbMsg = Union[
+    AircraftId,
+    AircraftPositionMsg,
+    AircraftVelocityMsg,
+    AircraftStatusMsg,
+    OperationalStatusMsg,
+    SurfacePositionMsg,
+    UnknownMsg,
+]
 
 
 # --- Extension: non-DF17 Mode S frames (see airjax.protocol.shortframe;
@@ -308,8 +510,14 @@ class AdsbPacket:
             msg = AircraftId.from_me(me)
         elif 9 <= msg_type <= 18:
             msg = AircraftPositionMsg.from_me(me)
+        elif extensions and 5 <= msg_type <= 8:
+            msg = SurfacePositionMsg.from_me(me)
         elif extensions and msg_type == 19:
             msg = AircraftVelocityMsg.from_me(me)
+        elif extensions and msg_type == 28:
+            msg = AircraftStatusMsg.from_me(me)
+        elif extensions and msg_type == 31:
+            msg = OperationalStatusMsg.from_me(me)
         else:
             msg = UnknownMsg(raw_msg=packet[4:])
         return cls(

@@ -17,10 +17,17 @@ from airjax.protocol.packet import (
     AdsbPacket,
     AircraftId,
     AircraftPositionMsg,
+    AircraftStatusMsg,
     AircraftVelocityMsg,
     CprFormat,
+    OperationalStatusMsg,
+    SurfacePositionMsg,
 )
-from airjax.track.cpr import GeographicPosition, calculate_geographic_position
+from airjax.track.cpr import (
+    GeographicPosition,
+    calculate_geographic_position,
+    calculate_surface_position,
+)
 
 CPR_PAIR_MAX_AGE_S = 10.0  # src/adsb/aircraft.rs:68
 
@@ -79,6 +86,8 @@ class Aircraft:
         self.ground_speed_kt: Optional[float] = None
         self.track_deg: Optional[float] = None
         self.vertical_rate_fpm: Optional[int] = None
+        self.emergency_state: Optional[int] = None  # extension (TC28)
+        self.adsb_version: Optional[int] = None  # extension (TC31)
         self.altitude = 0
         self.geo_position: Optional[GeographicPosition] = None
         self.last_contact = now
@@ -86,15 +95,67 @@ class Aircraft:
         self.last_odd_processed = now
         self.last_even_packet: Optional[AircraftPositionMsg] = None
         self.last_even_processed = now
+        # Extension: surface-position (TC5-8) frame stash, paired
+        # separately from airborne frames (mixing parities across the
+        # two encodings would decode garbage).
+        self.last_odd_surface: Optional[SurfacePositionMsg] = None
+        self.last_odd_surface_t = now
+        self.last_even_surface: Optional[SurfacePositionMsg] = None
+        self.last_even_surface_t = now
+        self.on_ground = False  # extension (latest position kind seen)
 
-    def handle_packet(self, msg: AdsbPacket) -> None:
+    def handle_packet(
+        self,
+        msg: AdsbPacket,
+        ref_position: Optional[tuple[float, float]] = None,
+    ) -> None:
         if msg.icao != self.icao:
+            return
+
+        if isinstance(msg.msg, SurfacePositionMsg):
+            # Extension: only reachable in extended mode.
+            surf = msg.msg
+            self.last_contact = msg.time_processed
+            self.on_ground = True
+            self.altitude = 0
+            if surf.movement_kt is not None:
+                self.ground_speed_kt = surf.movement_kt
+            if surf.track_deg is not None:
+                self.track_deg = surf.track_deg
+            if surf.cpr_format is CprFormat.EVEN:
+                self.last_even_surface = surf
+                self.last_even_surface_t = msg.time_processed
+                other, other_t, first = (
+                    self.last_odd_surface, self.last_odd_surface_t, CprFormat.ODD
+                )
+            else:
+                self.last_odd_surface = surf
+                self.last_odd_surface_t = msg.time_processed
+                other, other_t, first = (
+                    self.last_even_surface, self.last_even_surface_t, CprFormat.EVEN
+                )
+            if (
+                ref_position is not None
+                and other is not None
+                and abs(msg.time_processed - other_t) <= CPR_PAIR_MAX_AGE_S
+            ):
+                even, odd = (surf, other) if surf.cpr_format is CprFormat.EVEN else (other, surf)
+                geo = calculate_surface_position(
+                    (even.cpr_latitude, even.cpr_longitude),
+                    (odd.cpr_latitude, odd.cpr_longitude),
+                    first,
+                    ref_position[0],
+                    ref_position[1],
+                )
+                if geo is not None:
+                    self.geo_position = geo
             return
 
         if isinstance(msg.msg, AircraftPositionMsg):
             pos = msg.msg
             self.altitude = pos.altitude
             self.last_contact = msg.time_processed
+            self.on_ground = False
 
             if pos.cpr_format is CprFormat.EVEN:
                 self.last_even_packet = pos
@@ -138,6 +199,14 @@ class Aircraft:
                 self.track_deg = vel.track_deg
             if vel.vertical_rate_fpm is not None:
                 self.vertical_rate_fpm = vel.vertical_rate_fpm
+        elif isinstance(msg.msg, AircraftStatusMsg):
+            self.last_contact = msg.time_processed
+            if msg.msg.subtype == 1:
+                self.emergency_state = msg.msg.emergency_state
+                self.squawk = msg.msg.squawk
+        elif isinstance(msg.msg, OperationalStatusMsg):
+            self.last_contact = msg.time_processed
+            self.adsb_version = msg.msg.adsb_version
         # Unknown messages: ignored (src/adsb/aircraft.rs:107-109)
 
     def get_callsign(self) -> str:
@@ -161,9 +230,12 @@ class Aircraft:
 
 
 def handle_aircraft_update(
-    packet: AdsbPacket, aircrafts: dict[int, Aircraft]
+    packet: AdsbPacket,
+    aircrafts: dict[int, Aircraft],
+    ref_position: Optional[tuple[float, float]] = None,
 ) -> Aircraft:
-    """Upsert-and-update (src/adsb/aircraft.rs:158-165)."""
+    """Upsert-and-update (src/adsb/aircraft.rs:158-165). `ref_position`
+    (receiver lat, lon) enables surface-position global decode (extension)."""
     aircraft = aircrafts.setdefault(packet.icao, Aircraft(packet.icao))
-    aircraft.handle_packet(packet)
+    aircraft.handle_packet(packet, ref_position=ref_position)
     return aircraft

@@ -123,3 +123,63 @@ def calculate_geographic_position(
         even_cpr_lat_lon[1], odd_cpr_lat_lon[1], latitude, first
     )
     return GeographicPosition(latitude=latitude, longitude=longitude)
+
+
+# ---------------------------------------------------------------------------
+# Surface CPR (TC5-8) — extension. The reference decodes no surface
+# positions at all, so this follows the spec directly (no quirk
+# replication): zone sizes are 90 deg (not 360), and the 4-fold global
+# ambiguity is resolved against a receiver reference position.
+# ---------------------------------------------------------------------------
+
+
+def calculate_surface_position(
+    even_cpr_lat_lon: tuple[int, int],
+    odd_cpr_lat_lon: tuple[int, int],
+    first: CprFormat,
+    ref_lat: float,
+    ref_lon: float,
+) -> GeographicPosition | None:
+    """Global surface decode from an (even, odd) pair + receiver location."""
+    lat_e = even_cpr_lat_lon[0] / _CPR_SCALE
+    lat_o = odd_cpr_lat_lon[0] / _CPR_SCALE
+    dlat_e = 90.0 / 60.0
+    dlat_o = 90.0 / 59.0
+
+    j = math.floor(59.0 * lat_e - 60.0 * lat_o + 0.5)
+    lat_even = dlat_e * ((j % 60.0) + lat_e)
+    lat_odd = dlat_o * ((j % 59.0) + lat_o)
+    if calc_num_zones(lat_even) != calc_num_zones(lat_odd):
+        return None
+
+    lat = lat_odd if first is CprFormat.EVEN else lat_even  # newest frame
+    # Latitude solutions repeat every 90 deg; pick the one nearest the
+    # receiver (candidates clamped to the valid range).
+    lat_candidates = [lat + k * 90.0 for k in (-2, -1, 0, 1)]
+    lat = min(
+        (c for c in lat_candidates if -90.0 <= c <= 90.0),
+        key=lambda c: abs(c - ref_lat),
+    )
+
+    lon_e = even_cpr_lat_lon[1] / _CPR_SCALE
+    lon_o = odd_cpr_lat_lon[1] / _CPR_SCALE
+    nl = calc_num_zones(lat)
+    m = math.floor(lon_e * (nl - 1) - lon_o * nl + 0.5)
+    if first is CprFormat.EVEN:  # newest is odd
+        ni = max(nl - 1, 1)
+        lon = (90.0 / ni) * ((m % ni) + lon_o)
+    else:
+        ni = max(nl, 1)
+        lon = (90.0 / ni) * ((m % ni) + lon_e)
+    # Longitude solutions also repeat every 90 deg.
+    lon = _normalize_longitude(lon)
+
+    def lon_dist(a: float, b: float) -> float:
+        d = abs(a - b) % 360.0
+        return min(d, 360.0 - d)
+
+    lon = min(
+        (_normalize_longitude(lon + k * 90.0) for k in range(4)),
+        key=lambda c: lon_dist(c, ref_lon),
+    )
+    return GeographicPosition(latitude=lat, longitude=lon)

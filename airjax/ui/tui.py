@@ -21,10 +21,12 @@ WIDTHS = [8, 11, 11, 12, 12, 10, 6]
 
 
 class TuiApp:
-    def __init__(self):
+    def __init__(self, ref_position: tuple[float, float] | None = None):
         self.aircrafts: dict[int, Aircraft] = {}
         self.num_packets = 0
         self.queue: "queue.Queue[AdsbPacket]" = queue.Queue()
+        # Receiver (lat, lon); enables surface-position decode (extension).
+        self.ref_position = ref_position
 
     def on_packet(self, packet: AdsbPacket) -> None:
         """Sink callable — safe to call from the decode thread."""
@@ -39,7 +41,7 @@ class TuiApp:
             self.num_packets += 1
             from airjax.extended import handle_extended_update
 
-            handle_extended_update(packet, self.aircrafts)
+            handle_extended_update(packet, self.aircrafts, self.ref_position)
 
     def _rows(self):
         planes = sorted(self.aircrafts.values(), key=lambda a: a.get_age())

@@ -80,10 +80,13 @@ class WebDisplay:
         port: int = 8080,
         quiet: bool = False,
         extended_schema: bool = False,
+        ref_position: tuple[float, float] | None = None,
     ):
         self.host = host
         self.port = port
         self.quiet = quiet
+        # Receiver (lat, lon); enables surface-position decode (extension).
+        self.ref_position = ref_position
         # extended_schema adds velocity/squawk keys to the JSON (extended
         # decode mode); default stays bindings/AircraftSummary.ts-exact.
         self.extended_schema = extended_schema
@@ -97,7 +100,7 @@ class WebDisplay:
         from airjax.extended import handle_extended_update
 
         with self._lock:
-            handle_extended_update(packet, self.aircrafts)
+            handle_extended_update(packet, self.aircrafts, self.ref_position)
             summary = (
                 self.aircrafts[packet.icao]
                 .get_summary()
