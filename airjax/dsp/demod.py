@@ -183,6 +183,26 @@ def threshold_slice_bits(
     return jax.vmap(one)(offsets, threshold)
 
 
+def slice_bits_sparse_bytes(
+    pbytes: jnp.ndarray, offsets: jnp.ndarray
+) -> jnp.ndarray:
+    """(K,) offsets -> (K, 112) bits from the fused kernel's sparse byte
+    plane (airjax.kernels.magdet.magdet_packed).
+
+    Byte B (covering cmp bits [8B, 8B+8), MSB first) is stored at flat
+    position (B >> 4) * 128 + (B & 15) * 8; reading one byte per bit is a
+    (K, 112) gather — tiny next to the stream-sized passes it replaces.
+    """
+    d0 = (offsets + DATA_OFFSET).astype(jnp.int32)
+    t = jnp.arange(FRAME_BITS, dtype=jnp.int32)
+    p = d0[:, None] + 2 * t[None, :]  # (K, 112) cmp bit positions
+    byte_idx = p >> 3
+    pos = ((byte_idx >> 4) << 7) + ((byte_idx & 15) << 3)
+    byte = pbytes[pos].astype(jnp.int32)
+    shift = 7 - (p & 7)
+    return ((byte >> shift) & 1).astype(jnp.uint8)
+
+
 _WORDS_PER_CAND = 8  # ceil((31 + 223) / 32) — covers any 32-bit alignment
 
 

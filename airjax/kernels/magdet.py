@@ -172,3 +172,106 @@ def pad_for_kernel(iq: jnp.ndarray) -> tuple[jnp.ndarray, int]:
     pad = n_domain + EXTRA - m
     padded = jnp.pad(iq, ((0, pad), (0, 0)))
     return padded, n_domain
+
+
+# ---------------------------------------------------------------------------
+# Phase B: fully-fused variant — magnitude + detection + pair-compare +
+# IN-KERNEL bit packing, so the separate pack_cmp_words pass (a full
+# (N/32, 32) x weights reduction over HBM, ~1.5 ms / 16M samples — the
+# single largest non-detect cost in the XLA pipeline) disappears.
+#
+# Packing layout: 8 cmp bits per byte via a 3-step lane roll-add tree.
+# After weighting bit l by 1 << (7 - (l & 7)), b3[l] = sum_{d=0}^{7}
+# w[l+d] equals the MSB-first byte of bits [l, l+8) — exact at every lane
+# l that is a multiple of 8. Extracting those 16 valid lanes per row
+# would be a strided lane gather (a pathological relayout on TPU), so the
+# kernel stores the FULL (rows, 128) byte plane and the downstream
+# gather uses the sparse index map instead:
+#
+#   flat cmp bit p  ->  byte index B = p >> 3
+#                   ->  stored at flat position (B >> 4) * 128 + (B & 15) * 8
+#
+# The 8x storage overhead costs one extra u8 HBM write per sample — far
+# cheaper than the packing pass it replaces, and the candidate gather
+# side touches only ~112 bytes per candidate.
+# ---------------------------------------------------------------------------
+
+
+def _magdet_packed_kernel(iq_ref, head_ref, det_ref, pb_ref):
+    mag_tile = _mag_from_words(iq_ref[:, :])
+    mag_head = _mag_from_words(head_ref[:, :])
+    m = jnp.concatenate([mag_tile, mag_head], axis=0)
+
+    shifted = {
+        s: _shift(m, s, TILE_ROWS)
+        for s in sorted(
+            set(PREAMBLE_HIGHS) | set(PREAMBLE_LOWS) | set(DF17_HIGHS) | set(DF17_LOWS)
+        )
+    }
+    hmin = functools.reduce(jnp.minimum, (shifted[s] for s in PREAMBLE_HIGHS))
+    lmax = functools.reduce(jnp.maximum, (shifted[s] for s in PREAMBLE_LOWS))
+    dmin = functools.reduce(jnp.minimum, (shifted[s] for s in DF17_HIGHS))
+    dmax = functools.reduce(jnp.maximum, (shifted[s] for s in DF17_LOWS))
+    det_ref[:, :] = ((hmin >= lmax) & (dmin >= dmax)).astype(jnp.uint8)
+
+    cmp = (shifted[0] > shifted[1]).astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, cmp.shape, 1)
+    weighted = cmp << (7 - (lane & 7))
+    # Lane-left rolls: rolled[r, c] = x[r, (c + s) % 128]. The 8-wide
+    # window never wraps at the valid lanes (multiples of 8), so the
+    # wrap-around garbage lands only in lanes the index map never reads.
+    b = weighted + pltpu.roll(weighted, LANES - 1, 1)
+    b = b + pltpu.roll(b, LANES - 2, 1)
+    b = b + pltpu.roll(b, LANES - 4, 1)
+    pb_ref[:, :] = b.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def magdet_packed(iq: jnp.ndarray, interpret: bool = False):
+    """Fully-fused pass: (M, 2) int16 IQ -> (det, packed_bytes).
+
+    Args:
+      iq: (M, 2) int16 with M = n + EXTRA, n a multiple of TILE
+        (see pad_for_kernel).
+    Returns:
+      det (n,) uint8 — detection gate per offset;
+      packed (n,) uint8 — sparse byte plane (see module comment); read it
+        with airjax.dsp.demod.slice_bits_sparse_bytes.
+    """
+    m_total = iq.shape[0]
+    n = m_total - EXTRA
+    if n % TILE != 0:
+        raise ValueError(f"IQ length {n}+{EXTRA} must be a multiple of {TILE}")
+    grid = n // TILE
+
+    words = jax.lax.bitcast_convert_type(iq, jnp.int32)
+    words2d = words.reshape(m_total // LANES, LANES)
+
+    det, packed = pl.pallas_call(
+        _magdet_packed_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (EXTRA_ROWS, LANES),
+                lambda i: ((i + 1) * (TILE_ROWS // EXTRA_ROWS), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint8),
+        ],
+        interpret=interpret,
+    )(words2d, words2d)
+    return det.reshape(n), packed.reshape(n)

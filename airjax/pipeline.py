@@ -94,6 +94,40 @@ def decode_iq_block(
     return decode_mags_block(magnitude_u32(iq), n_off, capacity)
 
 
+@functools.partial(jax.jit, static_argnames=("n_off", "capacity", "interpret"))
+def decode_iq_block_kernel(
+    iq: jnp.ndarray, n_off: int, capacity: int, interpret: bool = False
+) -> dict[str, jnp.ndarray]:
+    """Fused-kernel decode path: one Pallas pass produces the detection
+    mask AND pre-packed PPM compare bytes (magnitude/cmp never touch HBM,
+    and the stream-sized pack_cmp_words pass disappears). Downstream
+    compaction/CRC are identical to decode_mags_block.
+
+    `iq` must be kernel-padded: (n + EXTRA, 2) int16 with n a multiple of
+    TILE and n >= n_off + WINDOW - 1 (see airjax.kernels.magdet).
+    """
+    from airjax.dsp.demod import slice_bits_sparse_bytes
+    from airjax.kernels.magdet import magdet_packed
+
+    det, pbytes = magdet_packed(iq, interpret=interpret)
+    offsets, n_det = compact_mask(det[:n_off] != 0, capacity)
+    valid = offsets < n_off
+    bits = slice_bits_sparse_bytes(pbytes, jnp.where(valid, offsets, 0))
+    bits, crc_ok, recovered = crc_check_and_recover(bits)
+    good = crc_ok & valid
+    frames = bits_to_bytes(bits)
+    return {
+        "offsets": offsets,
+        "valid": valid,
+        "good": good,
+        "recovered": recovered & valid,
+        "frames": frames,
+        "n_detections": n_det,
+        "n_good": jnp.sum(good, dtype=jnp.int32),
+        "overflow": n_det > capacity,
+    }
+
+
 def decode_mags_block_extended(
     mags: jnp.ndarray, n_off: int, capacity: int
 ) -> dict[str, jnp.ndarray]:

@@ -56,6 +56,26 @@ def jsonl_writer(path: str):
                 cpr_lat=msg.cpr_latitude,
                 cpr_lon=msg.cpr_longitude,
             )
+        elif hasattr(msg, "movement_kt"):  # TC5-8 surface position (ext.)
+            record.update(
+                movement_kt=msg.movement_kt,
+                track_deg=msg.track_deg,
+                cpr_format=msg.cpr_format.name.lower(),
+                cpr_lat=msg.cpr_latitude,
+                cpr_lon=msg.cpr_longitude,
+            )
+        if hasattr(msg, "vertical_rate_fpm"):  # TC19 velocity (ext.)
+            record.update(
+                ground_speed_kt=msg.ground_speed_kt,
+                track_deg=msg.track_deg,
+                heading_deg=msg.heading_deg,
+                airspeed_kt=msg.airspeed_kt,
+                vertical_rate_fpm=msg.vertical_rate_fpm,
+            )
+        if hasattr(msg, "emergency_state") and msg.emergency_state is not None:
+            record.update(emergency=msg.emergency_state, squawk=msg.squawk)
+        if hasattr(msg, "adsb_version"):
+            record["adsb_version"] = msg.adsb_version
         f.write(json.dumps(record) + "\n")
 
     return on_packet
