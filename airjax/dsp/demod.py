@@ -112,9 +112,13 @@ def compact_detections(
     rows = padded[safe_row]  # (K, tile) — only candidate tiles are touched
     local_cum = jnp.cumsum(rows.astype(jnp.int32), axis=1)
     local_rank = ranks - row_start[safe_row]
-    local_idx = jax.vmap(
-        lambda a, v: jnp.searchsorted(a, v, side="left")
-    )(local_cum, local_rank).astype(jnp.int32)
+    # Rank -> in-tile position via sum-compare rather than a vmapped
+    # binary search: searchsorted(a, v) == sum(a < v) for sorted a, and
+    # the dense (K, tile) compare+reduce lowers ~12% faster end-to-end on
+    # TPU than K while-loop searches (tools/bench_variants.py).
+    local_idx = jnp.sum(
+        local_cum < local_rank[:, None], axis=1, dtype=jnp.int32
+    )
     offsets = safe_row * tile + local_idx
     total = row_cum[-1]
     valid = ranks <= total

@@ -54,11 +54,13 @@ def build_workload(block_len: int, n_blocks: int, seed: int = 0):
     iq = synth.modulate_device(
         [frame] * len(offsets), list(map(int, offsets)), n, noise_std=60.0, seed=seed
     )
-    blocks = jnp.stack(
-        [
-            jax.lax.dynamic_slice_in_dim(iq, i * block_len, block_len + halo)
-            for i in range(n_blocks)
-        ]
+    # A tuple of separate arrays, NOT a stacked (n_blocks, L, 2): selecting
+    # a block out of a stacked array with dynamic_index_in_dim inside the
+    # timing loop materializes a 64 MB copy that XLA cannot fuse into the
+    # magnitude stage (~0.7 ms/pass of pure harness overhead, measured).
+    blocks = tuple(
+        jnp.asarray(jax.lax.dynamic_slice_in_dim(iq, i * block_len, block_len + halo))
+        for i in range(n_blocks)
     )
     return blocks, len(offsets)
 
@@ -72,19 +74,24 @@ def make_repeat_step(block_len: int, capacity: int):
     def step(blocks, reps):
         # `reps` is a traced scalar: one compilation serves every timing
         # point (remote TPU compiles here cost minutes each).
-        n_blocks = blocks.shape[0]
+        n_blocks = len(blocks)
 
-        def one_pass(r, acc):
-            # One block per pass, selected round-robin; perturbed per pass
-            # (wrapping int16 add) so the decode is not loop-invariant.
-            # Blocks run sequentially, not vmapped — batched gathers lower
-            # ~2.3x less efficiently on TPU than per-block programs.
-            iq = jax.lax.dynamic_index_in_dim(
-                blocks, r % n_blocks, axis=0, keepdims=False
-            )
+        def run(iq, r):
+            # Perturbed per pass (wrapping int16 add) so the decode is not
+            # loop-invariant; the add fuses into the magnitude stage.
             perturbed = iq + r.astype(jnp.int16)
             out = decode_mags_block(magnitude_u32(perturbed), block_len, capacity)
-            return acc[0] + out["n_good"], acc[1] + out["n_detections"]
+            return out["n_good"], out["n_detections"]
+
+        def one_pass(r, acc):
+            # One block per pass, round-robin via lax.switch over closures
+            # (no block copy; see build_workload). Blocks run sequentially,
+            # not vmapped — batched gathers lower ~2.3x less efficiently on
+            # TPU than per-block programs.
+            g, d = jax.lax.switch(
+                r % n_blocks, [functools.partial(run, b) for b in blocks], r
+            )
+            return acc[0] + g, acc[1] + d
 
         return jax.lax.fori_loop(
             0, reps, one_pass, (jnp.int32(0), jnp.int32(0))
@@ -104,7 +111,7 @@ def _timed(fn, *args, iters=3):
     return best, last
 
 
-def bench(block_len=1 << 24, n_blocks=2, capacity=2048, r_small=2, r_big=12):
+def bench(block_len=1 << 24, n_blocks=2, capacity=2048, r_small=2, r_big=22):
     blocks, n_frames = build_workload(block_len, n_blocks)
     total_samples = block_len  # one block decoded per pass
     step = make_repeat_step(block_len, capacity)
