@@ -87,6 +87,18 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_longlong),
         ]
+        lib.airjax_decode_chunk_extended.restype = ctypes.c_longlong
+        lib.airjax_decode_chunk_extended.argtypes = [
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong),
+        ]
         lib.airjax_ring_create.restype = ctypes.c_void_p
         lib.airjax_ring_create.argtypes = [ctypes.c_longlong, ctypes.c_longlong]
         lib.airjax_ring_destroy.argtypes = [ctypes.c_void_p]
@@ -170,6 +182,53 @@ def decode_chunk(
         (int(offsets[i]), packets[14 * i : 14 * (i + 1)].tobytes(), bool(recovered[i]))
         for i in range(int(n))
     ]
+    return hits, int(n_det.value)
+
+
+_EXT_KINDS = ("long", "df11", "short_ap", "long_ap")
+
+
+def decode_chunk_extended(
+    iq: np.ndarray, max_hits: int = 4096
+) -> tuple[list[tuple[int, str, bytes, int]], int]:
+    """Extended-mode scalar decode (native tier of the oracle chain).
+
+    Returns (hits, n_detections) where hits are (offset, kind,
+    frame_bytes, icao_ap) in scan order — the same shape as
+    airjax.golden.decode_chunk_extended (short-frame kinds carry 7 frame
+    bytes, long kinds 14).
+    """
+    lib = get_lib()
+    arr = np.ascontiguousarray(iq, dtype=np.int16)
+    offsets = np.empty(max_hits, dtype=np.int64)
+    kinds = np.empty(max_hits, dtype=np.uint8)
+    packets = np.empty(max_hits * 14, dtype=np.uint8)
+    icao_ap = np.empty(max_hits, dtype=np.uint32)
+    recovered = np.empty(max_hits, dtype=np.uint8)
+    n_det = ctypes.c_longlong(0)
+    n = lib.airjax_decode_chunk_extended(
+        _i16_ptr(arr),
+        arr.shape[0],
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        kinds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        packets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        icao_ap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        recovered.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        max_hits,
+        ctypes.byref(n_det),
+    )
+    hits = []
+    for i in range(int(n)):
+        kind = _EXT_KINDS[int(kinds[i])]
+        nbytes = 14 if kind in ("long", "long_ap") else 7
+        hits.append(
+            (
+                int(offsets[i]),
+                kind,
+                packets[14 * i : 14 * i + nbytes].tobytes(),
+                int(icao_ap[i]),
+            )
+        )
     return hits, int(n_det.value)
 
 

@@ -181,6 +181,13 @@ function draw() {
         `lon      ${a.geoPosition.longitude.toFixed(6)}`,
         `contact  ${new Date(a.lastContact * 1000).toLocaleTimeString()}`,
       ];
+      // Extended-schema keys (backend --extended mode); absent otherwise.
+      if (a.groundSpeedKt != null) {
+        lines.push(`speed    ${a.groundSpeedKt.toFixed(0)} kt @ ${
+          a.trackDeg != null ? a.trackDeg.toFixed(0) : "-"}°`);
+      }
+      if (a.verticalRateFpm != null) lines.push(`v/s      ${a.verticalRateFpm} fpm`);
+      if (a.squawk != null) lines.push(`squawk   ${String(a.squawk).padStart(4, "0")}`);
       const pw = 210 * devicePixelRatio;
       ctx.fillStyle = "rgba(16,26,56,0.95)";
       ctx.fillRect(x + 22, y - 10, pw, 14 + 16 * lines.length);

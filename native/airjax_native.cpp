@@ -194,6 +194,91 @@ long long airjax_decode_chunk(const int16_t* iq, long long n_samples,
 }
 
 // ---------------------------------------------------------------------------
+// Extended-mode scalar decoder (extension; mirrors the classification of
+// airjax.golden.decode_chunk_extended): preamble-only gate, then per
+// candidate:
+//   DF >= 16, DF 20/21  -> kind 3 (long AP candidate, icao = crc ^ field)
+//   DF >= 16 otherwise  -> kind 0 when CRC validates (1-bit recovery
+//                          applied), else dropped
+//   DF 11, PI == CRC    -> kind 1 (56-bit all-call)
+//   DF 4/5              -> kind 2 (short AP candidate)
+// ---------------------------------------------------------------------------
+
+static bool check_preamble_only(const uint32_t* m) {
+  for (int h : kPreHighs)
+    for (int l : kPreLows)
+      if (m[h] < m[l]) return false;
+  return true;
+}
+
+long long airjax_decode_chunk_extended(
+    const int16_t* iq, long long n_samples, long long* offsets_out,
+    uint8_t* kinds_out, uint8_t* packets_out, uint32_t* icao_ap_out,
+    uint8_t* recovered_out, long long max_hits, long long* n_detections) {
+  if (n_samples < 240) {
+    if (n_detections) *n_detections = 0;
+    return 0;
+  }
+  std::vector<uint32_t> mags((size_t)n_samples);
+  airjax_magnitude(iq, n_samples, mags.data());
+  if (!syndromes_ready) syndromes_init();
+  long long hits = 0, dets = 0;
+  for (long long i = 0; i < n_samples - 240; ++i) {
+    if (!check_preamble_only(&mags[(size_t)i])) continue;
+    ++dets;
+    if (hits >= max_hits) continue;
+    const uint32_t* m = &mags[(size_t)(i + 16)];
+    uint8_t bytes[14] = {0};
+    for (int k = 0; k < 112; ++k) {
+      if (m[2 * k] > m[2 * k + 1]) bytes[k / 8] |= (uint8_t)(1u << (7 - k % 8));
+    }
+    int df = bytes[0] >> 3;
+    uint8_t kind = 0xFF, recovered = 0;
+    uint32_t icao_ap = 0;
+    if (df >= 16) {
+      uint32_t calced = airjax_crc24(bytes, 11);
+      uint32_t pcrc = ((uint32_t)bytes[11] << 16) | ((uint32_t)bytes[12] << 8) |
+                      bytes[13];
+      if (df == 20 || df == 21) {
+        kind = 3;
+        icao_ap = calced ^ pcrc;
+      } else if (calced == pcrc) {
+        kind = 0;
+      } else {
+        uint32_t delta = calced ^ pcrc;
+        for (int j = 0; j < 88; ++j) {
+          if (syndromes[j] == delta) {
+            bytes[j / 8] ^= (uint8_t)(1u << (7 - j % 8));
+            kind = 0;
+            recovered = 1;
+            break;
+          }
+        }
+      }
+    } else {
+      uint32_t calced = airjax_crc24(bytes, 4);
+      uint32_t pi = ((uint32_t)bytes[4] << 16) | ((uint32_t)bytes[5] << 8) |
+                    bytes[6];
+      if (df == 11 && calced == pi) {
+        kind = 1;
+      } else if (df == 4 || df == 5) {
+        kind = 2;
+        icao_ap = calced ^ pi;
+      }
+    }
+    if (kind == 0xFF) continue;
+    offsets_out[hits] = i;
+    kinds_out[hits] = kind;
+    icao_ap_out[hits] = icao_ap;
+    recovered_out[hits] = recovered;
+    std::memcpy(packets_out + 14 * hits, bytes, 14);
+    ++hits;
+  }
+  if (n_detections) *n_detections = dets;
+  return hits;
+}
+
+// ---------------------------------------------------------------------------
 // Lock-free single-producer single-consumer ring buffer of fixed-size IQ
 // blocks (the native replacement for the reference's mpsc channel,
 // src/adsb.rs:131 — but bounded, so it backpressures instead of growing).

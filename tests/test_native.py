@@ -73,3 +73,35 @@ def test_ring_buffer():
     assert got2.shape == (500, 2) and np.all(got2 == 2)
     assert ring.pop() is None
     ring.close()
+
+
+def test_native_extended_matches_golden_fuzz():
+    """Native extended-mode scalar decoder vs the golden python oracle:
+    identical (offset, kind, frame, icao_ap) streams on mixed-format
+    noisy captures."""
+    from airjax import golden
+    from airjax.io import synth
+    from airjax.native import decode_chunk_extended
+    from airjax.protocol import shortframe
+
+    rng = np.random.default_rng(99)
+    icao = 0x7C6B30
+    frames = [
+        synth.make_df17(icao, synth.make_id_me("NATEXT_")),
+        shortframe.make_df11(icao),
+        shortframe.make_df4(icao, altitude_ft=7500, gillham=True),
+        shortframe.make_df5(icao, squawk=7700),
+        shortframe.make_df20(icao, altitude_ft=36000),
+        shortframe.make_df21(icao, squawk=1200),
+    ]
+    for trial in range(6):
+        offs = sorted(rng.choice(np.arange(4, 36) * 500, size=len(frames), replace=False))
+        iq = synth.modulate(
+            frames, [int(o) for o in offs], 20000,
+            noise_std=float(rng.choice([0.0, 30.0, 80.0])), seed=trial,
+        )
+        g = golden.decode_chunk_extended(iq)
+        n, ndet = decode_chunk_extended(iq)
+        # golden returns icao_ap 0 for 'long'; native also writes 0 there.
+        assert [(o, k, f, a) for o, k, f, a in g] == n, trial
+        assert ndet >= len(g)
