@@ -178,6 +178,21 @@ def encode_surface_cpr(lat: float, lon: float, odd: bool) -> tuple[int, int]:
     return yz, xz
 
 
+def encode_airborne_cpr(lat: float, lon: float, odd: bool) -> tuple[int, int]:
+    """Spec CPR airborne encoding (360-degree zones) -> (lat17, lon17)."""
+    import math
+
+    from airjax.track.cpr import calc_num_zones
+
+    dlat = 360.0 / 59.0 if odd else 360.0 / 60.0
+    yz = math.floor(131072.0 * (lat % dlat) / dlat + 0.5) % 131072
+    rlat = dlat * (yz / 131072.0 + math.floor(lat / dlat))
+    n = max(calc_num_zones(rlat) - (1 if odd else 0), 1)
+    dlon = 360.0 / n
+    xz = math.floor(131072.0 * (lon % dlon) / dlon + 0.5) % 131072
+    return yz, xz
+
+
 def make_surface_me(
     lat: float,
     lon: float,

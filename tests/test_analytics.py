@@ -1,0 +1,80 @@
+"""Mass-replay analytics: whole-capture decode into per-aircraft tracks
+(batched device field extraction + vectorized CPR pairing)."""
+
+import numpy as np
+
+from airjax.analytics import analyze_capture
+from airjax.io import synth
+from airjax.protocol.packet import AdsbPacket
+from airjax.track.aircraft import handle_aircraft_update
+
+ICAO_A = 0x7C6B30
+ICAO_B = 0x4840D6
+POS = (-41.3, 174.8)
+ALT = 10000
+
+
+def _capture():
+    lat_e, lon_e = synth.encode_airborne_cpr(*POS, odd=False)
+    lat_o, lon_o = synth.encode_airborne_cpr(*POS, odd=True)
+    frames = [
+        synth.make_df17(ICAO_A, synth.make_id_me("ANLYT1")),
+        synth.make_df17(
+            ICAO_A, synth.make_position_me(11, ALT, lat_e, lon_e, odd=False)
+        ),
+        synth.make_df17(
+            ICAO_A, synth.make_position_me(11, ALT, lat_o, lon_o, odd=True)
+        ),
+        synth.make_df17(ICAO_B, synth.make_id_me("ANLYT2")),
+    ]
+    offsets = [500, 9000, 21000, 33000]
+    return synth.modulate(frames, offsets, 60000, noise_std=20.0, seed=5)
+
+
+def test_tracks_and_fixes():
+    tracks, stats = analyze_capture(_capture())
+    assert stats["n_aircraft"] == 2
+    a = tracks[ICAO_A]
+    assert a.callsign == "ANLYT1__"
+    assert a.n_messages >= 3
+    assert a.altitudes and all(alt == ALT for _, alt in a.altitudes)
+    assert stats["n_fixes"] >= 1 and a.fixes
+    fix = a.fixes[0]
+    assert abs(fix.latitude - POS[0]) < 1e-3
+    assert abs(fix.longitude - POS[1]) < 1e-3
+    assert fix.altitude_ft == ALT
+
+    b = tracks[ICAO_B]
+    assert b.callsign == "ANLYT2__"
+    assert not b.fixes
+
+
+def test_fix_matches_online_tracker():
+    """The analytics pairing must reproduce the online tracker's decode
+    for the same frame sequence."""
+    lat_e, lon_e = synth.encode_airborne_cpr(*POS, odd=False)
+    lat_o, lon_o = synth.encode_airborne_cpr(*POS, odd=True)
+    even = synth.make_df17(
+        ICAO_A, synth.make_position_me(11, ALT, lat_e, lon_e, odd=False)
+    )
+    odd = synth.make_df17(
+        ICAO_A, synth.make_position_me(11, ALT, lat_o, lon_o, odd=True)
+    )
+    aircrafts = {}
+    handle_aircraft_update(AdsbPacket.from_bytes(even, 100.0), aircrafts)
+    handle_aircraft_update(AdsbPacket.from_bytes(odd, 101.0), aircrafts)
+    online = aircrafts[ICAO_A].geo_position
+    assert online is not None
+
+    tracks, _ = analyze_capture(_capture())
+    fix = tracks[ICAO_A].fixes[0]
+    assert abs(fix.latitude - online.latitude) < 1e-12
+    assert abs(fix.longitude - online.longitude) < 1e-12
+
+
+def test_empty_capture():
+    rng = np.random.default_rng(0)
+    iq = rng.integers(-50, 50, size=(30000, 2), dtype=np.int16)
+    tracks, stats = analyze_capture(iq)
+    assert tracks == {} or all(t.n_messages == 0 for t in tracks.values()) is False
+    assert stats["n_fixes"] == 0
