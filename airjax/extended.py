@@ -122,6 +122,11 @@ def assemble_extended(
         raw = frames_raw[k].tobytes()
         fields = _short_fields_host(raw[:7])
         d = int(df[k])
+        bds = None
+        if d in (20, 21):
+            from airjax.protocol.commb import infer_bds
+
+            bds = infer_bds(raw[4:11]) or None
         results.append(
             (
                 off,
@@ -132,6 +137,7 @@ def assemble_extended(
                     altitude_ft=fields["altitude_ft"] if d in (4, 20) else None,
                     squawk=fields["squawk"] if d in (5, 21) else None,
                     time_processed=now,
+                    bds=bds,
                 ),
             )
         )
@@ -158,3 +164,18 @@ def handle_extended_update(
             aircraft.altitude = packet.altitude_ft
         if packet.squawk is not None:
             aircraft.squawk = packet.squawk  # extension attribute
+        if packet.bds:
+            # Comm-B registers (extension): BDS 2,0 callsign; 5,0/6,0
+            # velocity fields feed the same extension attributes as TC19.
+            cs = packet.bds.get("2,0")
+            if cs and aircraft.callsign is None:
+                aircraft.callsign = cs
+            b50 = packet.bds.get("5,0")
+            if isinstance(b50, dict):
+                if "ground_speed_kt" in b50:
+                    aircraft.ground_speed_kt = float(b50["ground_speed_kt"])
+                if "track_deg" in b50:
+                    aircraft.track_deg = b50["track_deg"]
+            b60 = packet.bds.get("6,0")
+            if isinstance(b60, dict) and "baro_vs_fpm" in b60:
+                aircraft.vertical_rate_fpm = b60["baro_vs_fpm"]

@@ -1,0 +1,181 @@
+"""Comm-B (BDS register) decode for the DF20/21 MB field — extension.
+
+The reference ignores the 56-bit MB payload of Comm-B replies entirely
+(it decodes no short/AP frames at all). Real Mode S surveillance relies
+on it: BDS 2,0 carries the callsign, 4,0 the selected altitude, 5,0
+track/ground speed, 6,0 heading/airspeed. The MB field does not announce
+which register it holds, so receivers infer it with per-register validity
+heuristics (status-bit consistency + physical range checks — the same
+approach dump1090/pyModeS use).
+
+All decoders return None when the field fails its register's validity
+rules; `infer_bds` returns every register that validates (ambiguity is
+possible and callers should treat multi-matches as uncertain).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from airjax.protocol.fields import CHAR_CONVERT
+
+_VALID_CS = set("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_ ")
+
+
+def _bits(mb: bytes) -> int:
+    if len(mb) != 7:
+        raise ValueError("MB field must be 7 bytes")
+    return int.from_bytes(mb, "big")
+
+
+def _field(v: int, start: int, width: int) -> int:
+    """1-indexed MSB-first bit field of a 56-bit MB value."""
+    return (v >> (56 - start - width + 1)) & ((1 << width) - 1)
+
+
+def decode_bds20(mb: bytes) -> Optional[str]:
+    """BDS 2,0 aircraft identification -> 8-char callsign."""
+    if mb[0] != 0x20:
+        return None
+    bits48 = int.from_bytes(mb[1:7], "big")
+    cs = "".join(
+        CHAR_CONVERT[(bits48 >> (42 - 6 * i)) & 0x3F] for i in range(8)
+    )
+    # '#' marks unassigned 6-bit codes; a real BDS2,0 never contains them.
+    if any(c not in _VALID_CS for c in cs):
+        return None
+    return cs
+
+
+def decode_bds40(mb: bytes) -> Optional[dict]:
+    """BDS 4,0 selected vertical intention."""
+    v = _bits(mb)
+    out: dict = {}
+    s_mcp, mcp = _field(v, 1, 1), _field(v, 2, 12)
+    s_fms, fms = _field(v, 14, 1), _field(v, 15, 12)
+    s_baro, baro = _field(v, 27, 1), _field(v, 28, 12)
+    # Status 0 requires an all-zero field; reserved bits 40-47 must be 0.
+    for s, val in ((s_mcp, mcp), (s_fms, fms), (s_baro, baro)):
+        if s == 0 and val != 0:
+            return None
+    if _field(v, 40, 8) != 0:
+        return None
+    if s_mcp:
+        alt = mcp * 16
+        if alt > 65000:
+            return None
+        out["mcp_alt_ft"] = alt
+    if s_fms:
+        alt = fms * 16
+        if alt > 65000:
+            return None
+        out["fms_alt_ft"] = alt
+    if s_baro:
+        mb_val = baro * 0.1 + 800.0
+        if not 850.0 <= mb_val <= 1100.0:
+            return None
+        out["baro_setting_mb"] = round(mb_val, 1)
+    return out or None
+
+
+def _signed(val: int, width: int) -> int:
+    return val - (1 << width) if val >= (1 << (width - 1)) else val
+
+
+def decode_bds50(mb: bytes) -> Optional[dict]:
+    """BDS 5,0 track and turn report."""
+    v = _bits(mb)
+    out: dict = {}
+    s_roll, roll = _field(v, 1, 1), _field(v, 2, 10)
+    s_trk, trk = _field(v, 12, 1), _field(v, 13, 11)
+    s_gs, gs = _field(v, 24, 1), _field(v, 25, 10)
+    s_tr, tr = _field(v, 35, 1), _field(v, 36, 10)
+    s_tas, tas = _field(v, 46, 1), _field(v, 47, 10)
+    for s, val in ((s_roll, roll), (s_trk, trk), (s_gs, gs), (s_tr, tr), (s_tas, tas)):
+        if s == 0 and val != 0:
+            return None
+    if s_roll:
+        deg = _signed(roll, 10) * 45.0 / 256.0
+        if abs(deg) > 50.0:
+            return None
+        out["roll_deg"] = round(deg, 2)
+    if s_trk:
+        deg = _signed(trk, 11) * 90.0 / 512.0 % 360.0
+        out["track_deg"] = round(deg, 2)
+    if s_gs:
+        kt = gs * 2
+        if kt > 800:
+            return None
+        out["ground_speed_kt"] = kt
+    if s_tr:
+        rate = _signed(tr, 10) * 8.0 / 256.0
+        if abs(rate) > 16.0:
+            return None
+        out["track_rate_dps"] = round(rate, 3)
+    if s_tas:
+        kt = tas * 2
+        if not 0 <= kt <= 800:
+            return None
+        out["tas_kt"] = kt
+    # Cross-check: TAS and GS should be broadly consistent when both set.
+    if "tas_kt" in out and "ground_speed_kt" in out:
+        if abs(out["tas_kt"] - out["ground_speed_kt"]) > 200:
+            return None
+    return out or None
+
+
+def decode_bds60(mb: bytes) -> Optional[dict]:
+    """BDS 6,0 heading and speed report."""
+    v = _bits(mb)
+    out: dict = {}
+    s_hdg, hdg = _field(v, 1, 1), _field(v, 2, 11)
+    s_ias, ias = _field(v, 13, 1), _field(v, 14, 10)
+    s_mach, mach = _field(v, 24, 1), _field(v, 25, 10)
+    s_bvs, bvs = _field(v, 35, 1), _field(v, 36, 10)
+    s_ivs, ivs = _field(v, 46, 1), _field(v, 47, 10)
+    for s, val in ((s_hdg, hdg), (s_ias, ias), (s_mach, mach), (s_bvs, bvs), (s_ivs, ivs)):
+        if s == 0 and val != 0:
+            return None
+    if s_hdg:
+        deg = _signed(hdg, 11) * 90.0 / 512.0 % 360.0
+        out["heading_deg"] = round(deg, 2)
+    if s_ias:
+        if not 0 < ias <= 600:
+            return None
+        out["ias_kt"] = ias
+    if s_mach:
+        m = mach * 2.048 / 512.0
+        if m > 1.1:
+            return None
+        out["mach"] = round(m, 3)
+    if s_bvs:
+        fpm = _signed(bvs, 10) * 32
+        if abs(fpm) > 12000:
+            return None
+        out["baro_vs_fpm"] = fpm
+    if s_ivs:
+        fpm = _signed(ivs, 10) * 32
+        if abs(fpm) > 12000:
+            return None
+        out["inertial_vs_fpm"] = fpm
+    # Cross-check IAS vs Mach plausibility when both present.
+    if "ias_kt" in out and "mach" in out and out["mach"] > 0:
+        if out["ias_kt"] > 500 and out["mach"] < 0.3:
+            return None
+    return out or None
+
+
+def infer_bds(mb: bytes) -> dict[str, dict | str]:
+    """Try every supported register; return {bds: decoded} for all that
+    validate. Empty MB (all zeros) matches nothing."""
+    if mb == b"\x00" * 7:
+        return {}
+    out: dict[str, dict | str] = {}
+    cs = decode_bds20(mb)
+    if cs is not None:
+        out["2,0"] = cs
+    for name, fn in (("4,0", decode_bds40), ("5,0", decode_bds50), ("6,0", decode_bds60)):
+        d = fn(mb)
+        if d is not None:
+            out[name] = d
+    return out

@@ -465,9 +465,12 @@ class SurveillanceReply:
     df: int
     icao: int
     flight_status: int
-    altitude_ft: Optional[int]  # DF4/20 (None if AC13 not Q=1 metric)
+    altitude_ft: Optional[int]  # DF4/20 (None if AC13 invalid/metric)
     squawk: Optional[int]  # DF5/21
     time_processed: float
+    # DF20/21 only: inferred Comm-B registers (airjax.protocol.commb),
+    # e.g. {"2,0": "KLM1017_", "6,0": {...}}. None for DF4/5.
+    bds: Optional[dict] = None
 
     def format(self) -> str:
         lines = [
@@ -479,6 +482,9 @@ class SurveillanceReply:
             lines.append(f"Altitude (ft)   : {self.altitude_ft}")
         if self.squawk is not None:
             lines.append(f"Squawk          : {self.squawk:04d}")
+        if self.bds:
+            for reg, val in sorted(self.bds.items()):
+                lines.append(f"BDS {reg}         : {val}")
         return "\n".join(lines) + "\n"
 
 

@@ -1,0 +1,152 @@
+"""Comm-B (BDS register) decode for DF20/21 MB fields — extension."""
+
+import jax
+import numpy as np
+
+from airjax.extended import assemble_extended, handle_extended_update
+from airjax.io import synth
+from airjax.pipeline import decode_iq_block_extended
+from airjax.protocol import commb, shortframe
+from airjax.protocol.fields import CHAR_CONVERT
+from airjax.protocol.packet import SurveillanceReply
+from airjax.track.icao_cache import IcaoCache
+
+ICAO = 0x7C6B30
+
+
+def make_bds20(callsign: str) -> bytes:
+    cs = callsign.ljust(8, "_")[:8]
+    bits48 = 0
+    for ch in cs:
+        bits48 = (bits48 << 6) | CHAR_CONVERT.index(ch)
+    return bytes([0x20]) + bits48.to_bytes(6, "big")
+
+
+def _pack_fields(*fields):
+    """[(value, width), ...] MSB-first -> 7 bytes."""
+    v = 0
+    total = 0
+    for val, width in fields:
+        v = (v << width) | (val & ((1 << width) - 1))
+        total += width
+    assert total == 56, total
+    return v.to_bytes(7, "big")
+
+
+def make_bds50(roll_deg=0.0, track_deg=0.0, gs_kt=0, track_rate=0.0, tas_kt=0):
+    def enc(x, scale, width):
+        return round(x / scale) & ((1 << width) - 1)
+
+    return _pack_fields(
+        (1, 1), (enc(roll_deg, 45 / 256, 10), 10),
+        (1, 1), (enc(track_deg if track_deg < 180 else track_deg - 360, 90 / 512, 11), 11),
+        (1, 1), (gs_kt // 2, 10),
+        (1, 1), (enc(track_rate, 8 / 256, 10), 10),
+        (1, 1), (tas_kt // 2, 10),
+    )
+
+
+def make_bds60(heading_deg=0.0, ias_kt=250, mach=0.78, baro_vs=-1024, inertial_vs=-1056):
+    def enc(x, scale, width):
+        return round(x / scale) & ((1 << width) - 1)
+
+    return _pack_fields(
+        (1, 1), (enc(heading_deg if heading_deg < 180 else heading_deg - 360, 90 / 512, 11), 11),
+        (1, 1), (ias_kt, 10),
+        (1, 1), (round(mach * 512 / 2.048), 10),
+        (1, 1), (enc(baro_vs, 32, 10), 10),
+        (1, 1), (enc(inertial_vs, 32, 10), 10),
+    )
+
+
+def test_bds20_known_vector():
+    # Classic published Comm-B identification MB field.
+    assert commb.decode_bds20(bytes.fromhex("202cc371c31de0")) == "KLM1017_"
+
+
+def test_bds20_rejects_garbage():
+    assert commb.decode_bds20(bytes.fromhex("10ffffffffffff")) is None  # not 0x20
+    assert commb.decode_bds20(bytes.fromhex("20ffffffffffff")) is None  # '#' chars
+
+
+def test_bds50_roundtrip():
+    mb = make_bds50(roll_deg=-10.5, track_deg=221.0, gs_kt=440, track_rate=0.5, tas_kt=450)
+    d = commb.decode_bds50(mb)
+    assert d is not None
+    assert abs(d["roll_deg"] + 10.5) < 0.2
+    assert abs(d["track_deg"] - 221.0) < 0.2
+    assert d["ground_speed_kt"] == 440
+    assert d["tas_kt"] == 450
+
+
+def test_bds50_validity_rules():
+    # Status 0 with a nonzero field must reject.
+    bad = bytearray(make_bds50(gs_kt=100))
+    bad[0] &= 0x7F  # clear roll status, roll field left nonzero?
+    # roll field was 0; instead set roll value with status cleared:
+    bad = bytearray(make_bds50(roll_deg=20.0, gs_kt=100))
+    bad[0] &= 0x7F
+    assert commb.decode_bds50(bytes(bad)) is None
+    # Implausible ground speed rejects.
+    assert commb.decode_bds50(make_bds50(gs_kt=1900)) is None
+
+
+def test_bds60_roundtrip():
+    mb = make_bds60(heading_deg=42.2, ias_kt=252, mach=0.78, baro_vs=-1024, inertial_vs=-1056)
+    d = commb.decode_bds60(mb)
+    assert d is not None
+    assert abs(d["heading_deg"] - 42.2) < 0.2
+    assert d["ias_kt"] == 252
+    assert abs(d["mach"] - 0.78) < 0.003
+    assert d["baro_vs_fpm"] == -1024
+    assert d["inertial_vs_fpm"] == -1056
+
+
+def test_bds40_roundtrip_and_reject():
+    mb = _pack_fields(
+        (1, 1), (32000 // 16, 12),
+        (1, 1), (31984 // 16, 12),
+        (1, 1), (round((1013.2 - 800) / 0.1), 12),
+        (0, 8), (0, 9),
+    )
+    d = commb.decode_bds40(mb)
+    assert d == {"mcp_alt_ft": 32000, "fms_alt_ft": 31984, "baro_setting_mb": 1013.2}
+    # Reserved bits nonzero -> reject.
+    bad = bytearray(mb)
+    bad[5] |= 0x04
+    assert commb.decode_bds40(bytes(bad)) is None
+
+
+def test_infer_and_e2e_df20_bds20():
+    # DF17 registers the ICAO, then a DF20 whose MB carries BDS 2,0.
+    df17 = synth.make_df17(ICAO, synth.make_id_me("COMMB"))
+    df20 = shortframe.make_df20(ICAO, altitude_ft=36000, mb=make_bds20("KLM1017"))
+    iq = synth.modulate([df17, df20], [500, 1500], 4000, seed=13)
+    out = jax.device_get(
+        decode_iq_block_extended(jax.numpy.asarray(iq), len(iq) - 240, 64)
+    )
+    pkts = [p for _, p in assemble_extended(out, 100.0, IcaoCache())]
+    surv = [p for p in pkts if isinstance(p, SurveillanceReply)]
+    assert surv and surv[0].bds and surv[0].bds["2,0"] == "KLM1017_"
+    assert surv[0].altitude_ft == 36000
+
+    aircrafts = {}
+    handle_extended_update(surv[0], aircrafts)
+    assert aircrafts[ICAO].callsign == "KLM1017_"
+    assert aircrafts[ICAO].altitude == 36000
+
+
+def test_tracker_bds60_velocity():
+    rep = SurveillanceReply(
+        df=21, icao=ICAO, flight_status=0, altitude_ft=None, squawk=7000,
+        time_processed=100.0,
+        bds={"6,0": commb.decode_bds60(make_bds60(baro_vs=-960))},
+    )
+    aircrafts = {}
+    handle_extended_update(rep, aircrafts)
+    assert aircrafts[ICAO].vertical_rate_fpm == -960
+    assert aircrafts[ICAO].squawk == 7000
+
+
+def test_empty_mb_infers_nothing():
+    assert commb.infer_bds(b"\x00" * 7) == {}
