@@ -178,6 +178,83 @@ def encode_surface_cpr(lat: float, lon: float, odd: bool) -> tuple[int, int]:
     return yz, xz
 
 
+def make_gnss_position_me(
+    tc: int,
+    altitude_m: int,
+    cpr_lat: int,
+    cpr_lon: int,
+    odd: bool,
+    surveillance_status: int = 0,
+    nic: int = 0,
+    cpr_time: int = 0,
+) -> bytes:
+    """Build a TC20-22 airborne position ME (GNSS HAE altitude, metres)."""
+    if not 20 <= tc <= 22:
+        raise ValueError("GNSS position TC must be 20-22")
+    if not 0 <= altitude_m < 4096:
+        raise ValueError("GNSS altitude out of 12-bit metre range")
+    m0 = (tc << 3) | (surveillance_status << 1) | nic
+    m1 = (altitude_m >> 4) & 0xFF
+    m2 = (
+        ((altitude_m & 0xF) << 4)
+        | (cpr_time << 3)
+        | ((1 if odd else 0) << 2)
+        | ((cpr_lat >> 15) & 0b11)
+    )
+    m3 = (cpr_lat >> 7) & 0xFF
+    m4 = ((cpr_lat & 0x7F) << 1) | ((cpr_lon >> 16) & 1)
+    m5 = (cpr_lon >> 8) & 0xFF
+    m6 = cpr_lon & 0xFF
+    return bytes([m0, m1, m2, m3, m4, m5, m6])
+
+
+def make_target_state_me(
+    selected_altitude_ft: int | None = None,
+    altitude_is_fms: bool = False,
+    baro_setting_mb: float | None = None,
+    selected_heading_deg: float | None = None,
+    nac_p: int = 9,
+    sil: int = 3,
+    autopilot: bool = False,
+    vnav: bool = False,
+    alt_hold: bool = False,
+    approach: bool = False,
+    tcas_operational: bool = True,
+    lnav: bool = False,
+    mode_valid: bool = True,
+) -> bytes:
+    """Build a TC29 subtype-1 target state & status ME field."""
+    alt_val = 0 if selected_altitude_ft is None else selected_altitude_ft // 32 + 1
+    baro_val = (
+        0 if baro_setting_mb is None else round((baro_setting_mb - 800.0) / 0.8) + 1
+    )
+    if selected_heading_deg is None:
+        hdg_status, hdg_val = 0, 0
+    else:
+        hdg_status = 1
+        h = selected_heading_deg if selected_heading_deg < 180 else selected_heading_deg - 360
+        hdg_val = round(h * 256.0 / 180.0) & 0x1FF
+    fields = [
+        (29, 5), (1, 2), (0, 1),  # TC, subtype 1, SIL supplement
+        (1 if altitude_is_fms else 0, 1), (alt_val, 11),
+        (baro_val, 9),
+        (hdg_status, 1), (hdg_val, 9),
+        (nac_p, 4), (0, 1), (sil, 2),
+        (1 if mode_valid else 0, 1),
+        (1 if autopilot else 0, 1), (1 if vnav else 0, 1),
+        (1 if alt_hold else 0, 1), (0, 1),
+        (1 if approach else 0, 1), (1 if tcas_operational else 0, 1),
+        (1 if lnav else 0, 1), (0, 2),
+    ]
+    v = 0
+    total = 0
+    for val, width in fields:
+        v = (v << width) | (val & ((1 << width) - 1))
+        total += width
+    assert total == 56, total
+    return v.to_bytes(7, "big")
+
+
 def encode_airborne_cpr(lat: float, lon: float, odd: bool) -> tuple[int, int]:
     """Spec CPR airborne encoding (360-degree zones) -> (lat17, lon17)."""
     import math

@@ -77,6 +77,28 @@ class AircraftPositionMsg:
     cpr_format: CprFormat
     cpr_latitude: int
     cpr_longitude: int
+    # Extension: True for TC20-22, whose 12-bit altitude field carries
+    # GNSS height (HAE, metres) instead of the baro AC12 code. The
+    # reference classes TC20-22 Unknown (src/adsb/packet.rs:34-38).
+    altitude_gnss: bool = False
+
+    @classmethod
+    def from_me_gnss(cls, me: bytes) -> "AircraftPositionMsg":
+        """TC20-22 airborne position: altitude = GNSS HAE metres -> ft."""
+        alt_m = (me[1] << 4) | ((me[2] & 0xF0) >> 4)
+        return cls(
+            msg_type=(me[0] & 0xF8) >> 3,
+            surveillance_status=(me[0] & 0b110) >> 1,
+            nic_supplement=me[0] & 1,
+            altitude=round(alt_m * 3.28084),
+            cpr_time=(me[2] & 0b1000) >> 3,
+            cpr_format=CprFormat.ODD if (me[2] & 0b100) >> 2 else CprFormat.EVEN,
+            cpr_latitude=((me[2] & 0b11) << 15)
+            | (me[3] << 7)
+            | ((me[4] & 0xFE) >> 1),
+            cpr_longitude=((me[4] & 1) << 16) | (me[5] << 8) | me[6],
+            altitude_gnss=True,
+        )
 
     @classmethod
     def from_me(cls, me: bytes) -> "AircraftPositionMsg":
@@ -100,6 +122,16 @@ class AircraftPositionMsg:
 
     def format(self) -> str:
         fmt = "Odd" if self.cpr_format is CprFormat.ODD else "Even"
+        if self.altitude_gnss:
+            # Extension display form (never reachable in parity mode).
+            return (
+                "Message:\n"
+                f"Type                : {self.msg_type} (Position, GNSS)\n"
+                f"Altitude (ft, GNSS) : {self.altitude}\n"
+                f"CPR Format          : {fmt}\n"
+                f"Raw Latitude        : {self.cpr_latitude}\n"
+                f"Raw Longitude       : {self.cpr_longitude}\n"
+            )
         return (
             "Message:\n"
             f"Type                : {self.msg_type} (Position)\n"
@@ -368,6 +400,95 @@ class AircraftStatusMsg:
 
 
 @dataclasses.dataclass
+class TargetStateMsg:
+    """TC29 subtype 1 target state & status (DO-260B) — extension
+    (reference classes TC29 Unknown). Subtype 0 (the legacy format) is
+    kept raw (all fields None except msg_type/subtype)."""
+
+    msg_type: int
+    subtype: int
+    sil_supplement: Optional[int]
+    selected_altitude_ft: Optional[int]
+    altitude_is_fms: Optional[bool]  # False = MCP/FCU source
+    baro_setting_mb: Optional[float]
+    selected_heading_deg: Optional[float]
+    nac_p: Optional[int]
+    nic_baro: Optional[int]
+    sil: Optional[int]
+    mode_valid: Optional[bool]
+    autopilot: Optional[bool]
+    vnav: Optional[bool]
+    alt_hold: Optional[bool]
+    approach: Optional[bool]
+    tcas_operational: Optional[bool]
+    lnav: Optional[bool]
+
+    @classmethod
+    def from_me(cls, me: bytes) -> "TargetStateMsg":
+        v = int.from_bytes(me, "big")  # 56 bits
+
+        def field(start: int, width: int) -> int:  # 1-indexed MSB-first
+            return (v >> (56 - start - width + 1)) & ((1 << width) - 1)
+
+        subtype = field(6, 2)
+        none = cls(
+            msg_type=(me[0] & 0xF8) >> 3, subtype=subtype,
+            sil_supplement=None, selected_altitude_ft=None,
+            altitude_is_fms=None, baro_setting_mb=None,
+            selected_heading_deg=None, nac_p=None, nic_baro=None, sil=None,
+            mode_valid=None, autopilot=None, vnav=None, alt_hold=None,
+            approach=None, tcas_operational=None, lnav=None,
+        )
+        if subtype != 1:
+            return none
+
+        alt_val = field(10, 11)
+        baro_val = field(21, 9)
+        hdg_status = field(30, 1)
+        hdg_val = field(31, 9)
+        heading = None
+        if hdg_status:
+            signed = hdg_val - 512 if hdg_val >= 256 else hdg_val
+            heading = (signed * 180.0 / 256.0) % 360.0
+        mode_valid = bool(field(47, 1))
+        return cls(
+            msg_type=(me[0] & 0xF8) >> 3,
+            subtype=subtype,
+            sil_supplement=field(8, 1),
+            selected_altitude_ft=None if alt_val == 0 else (alt_val - 1) * 32,
+            altitude_is_fms=bool(field(9, 1)),
+            baro_setting_mb=(
+                None if baro_val == 0 else round((baro_val - 1) * 0.8 + 800.0, 1)
+            ),
+            selected_heading_deg=heading,
+            nac_p=field(40, 4),
+            nic_baro=field(44, 1),
+            sil=field(45, 2),
+            mode_valid=mode_valid,
+            autopilot=bool(field(48, 1)) if mode_valid else None,
+            vnav=bool(field(49, 1)) if mode_valid else None,
+            alt_hold=bool(field(50, 1)) if mode_valid else None,
+            approach=bool(field(52, 1)) if mode_valid else None,
+            tcas_operational=bool(field(53, 1)) if mode_valid else None,
+            lnav=bool(field(54, 1)) if mode_valid else None,
+        )
+
+    def format(self) -> str:
+        lines = [
+            "Message:",
+            f"Type                : {self.msg_type} (Target state, subtype {self.subtype})",
+        ]
+        if self.selected_altitude_ft is not None:
+            src = "FMS" if self.altitude_is_fms else "MCP"
+            lines.append(f"Selected Alt (ft)   : {self.selected_altitude_ft} ({src})")
+        if self.selected_heading_deg is not None:
+            lines.append(f"Selected Heading    : {self.selected_heading_deg:.1f}")
+        if self.baro_setting_mb is not None:
+            lines.append(f"Baro Setting (mb)   : {self.baro_setting_mb}")
+        return "\n".join(lines) + "\n"
+
+
+@dataclasses.dataclass
 class OperationalStatusMsg:
     """TC31 operational status — extension (reference classes TC31 Unknown).
 
@@ -430,6 +551,7 @@ AdsbMsg = Union[
     AircraftStatusMsg,
     OperationalStatusMsg,
     SurfacePositionMsg,
+    TargetStateMsg,
     UnknownMsg,
 ]
 
@@ -520,8 +642,12 @@ class AdsbPacket:
             msg = SurfacePositionMsg.from_me(me)
         elif extensions and msg_type == 19:
             msg = AircraftVelocityMsg.from_me(me)
+        elif extensions and 20 <= msg_type <= 22:
+            msg = AircraftPositionMsg.from_me_gnss(me)
         elif extensions and msg_type == 28:
             msg = AircraftStatusMsg.from_me(me)
+        elif extensions and msg_type == 29:
+            msg = TargetStateMsg.from_me(me)
         elif extensions and msg_type == 31:
             msg = OperationalStatusMsg.from_me(me)
         else:

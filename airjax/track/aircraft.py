@@ -22,6 +22,7 @@ from airjax.protocol.packet import (
     CprFormat,
     OperationalStatusMsg,
     SurfacePositionMsg,
+    TargetStateMsg,
 )
 from airjax.track.cpr import (
     GeographicPosition,
@@ -88,6 +89,8 @@ class Aircraft:
         self.vertical_rate_fpm: Optional[int] = None
         self.emergency_state: Optional[int] = None  # extension (TC28)
         self.adsb_version: Optional[int] = None  # extension (TC31)
+        self.selected_altitude_ft: Optional[int] = None  # extension (TC29)
+        self.selected_heading_deg: Optional[float] = None  # extension (TC29)
         self.altitude = 0
         self.geo_position: Optional[GeographicPosition] = None
         self.last_contact = now
@@ -207,6 +210,12 @@ class Aircraft:
         elif isinstance(msg.msg, OperationalStatusMsg):
             self.last_contact = msg.time_processed
             self.adsb_version = msg.msg.adsb_version
+        elif isinstance(msg.msg, TargetStateMsg):
+            self.last_contact = msg.time_processed
+            if msg.msg.selected_altitude_ft is not None:
+                self.selected_altitude_ft = msg.msg.selected_altitude_ft
+            if msg.msg.selected_heading_deg is not None:
+                self.selected_heading_deg = msg.msg.selected_heading_deg
         # Unknown messages: ignored (src/adsb/aircraft.rs:107-109)
 
     def get_callsign(self) -> str:

@@ -1,55 +1,68 @@
 """Drive the curses TUI through a real pty: decode a TC19 velocity frame
 in extended mode and assert the velocity column renders (the reference
-hardwires it to "n/a", src/adsb/tui.rs:77)."""
+hardwires it to "n/a", src/adsb/tui.rs:77).
+
+Runs a FRESH interpreter on the pty (not pty.fork of the test process:
+forking a pytest process that already spawned threads — prefetchers, web
+servers from earlier tests — deadlocks in the child)."""
 
 import os
+import pathlib
 import pty
 import select
+import subprocess
+import sys
 import time
+
+_CHILD = r"""
+import os
+os.environ["TERM"] = "xterm"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import threading
+from airjax.io import synth
+from airjax.runner import run_stream
+from airjax.ui.tui import TuiApp, interactive_display
+
+me = synth.make_velocity_me(ew_kt=-8, ns_kt=-159, vertical_rate_fpm=-832)
+frames = [
+    synth.make_df17(0x4840D6, synth.make_id_me("TUIVEL")),
+    synth.make_df17(0x4840D6, me),
+]
+iq = synth.modulate(frames, [500, 1500], 20000, seed=3)
+app = TuiApp()
+threading.Thread(
+    target=run_stream,
+    args=(iter([iq]), app.on_packet),
+    kwargs={"extended": True},
+    daemon=True,
+).start()
+interactive_display(app)
+"""
 
 
 def test_tui_renders_velocity_column():
-    pid, fd = pty.fork()
-    if pid == 0:  # child: run the TUI on a synthetic extended stream
-        status = 1
-        try:
-            os.environ["TERM"] = "xterm"
-            import threading
+    parent_fd, child_fd = pty.openpty()
+    env = dict(os.environ, PYTHONPATH=str(pathlib.Path(__file__).resolve().parent.parent))
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _CHILD],
+        stdin=child_fd,
+        stdout=child_fd,
+        stderr=subprocess.PIPE,
+        env=env,
+        close_fds=True,
+    )
+    os.close(child_fd)
 
-            from airjax.io import synth
-            from airjax.runner import run_stream
-            from airjax.ui.tui import TuiApp, interactive_display
-
-            me = synth.make_velocity_me(ew_kt=-8, ns_kt=-159, vertical_rate_fpm=-832)
-            frames = [
-                synth.make_df17(0x4840D6, synth.make_id_me("TUIVEL")),
-                synth.make_df17(0x4840D6, me),
-            ]
-            iq = synth.modulate(frames, [500, 1500], 20000, seed=3)
-            app = TuiApp()
-            threading.Thread(
-                target=run_stream,
-                args=(iter([iq]), app.on_packet),
-                kwargs={"extended": True},
-                daemon=True,
-            ).start()
-            interactive_display(app)
-            status = 0
-        except BaseException:
-            pass
-        finally:
-            os._exit(status)
-
-    # Parent: read frames until the velocity cell appears, then quit.
-    deadline = time.time() + 90
+    deadline = time.time() + 120
     buf = b""
     saw_velocity = False
     try:
         while time.time() < deadline:
-            r, _, _ = select.select([fd], [], [], 1.0)
+            r, _, _ = select.select([parent_fd], [], [], 1.0)
             if r:
                 try:
-                    chunk = os.read(fd, 65536)
+                    chunk = os.read(parent_fd, 65536)
                 except OSError:
                     break
                 if not chunk:
@@ -58,20 +71,13 @@ def test_tui_renders_velocity_column():
             if b"159 kt" in buf and b"TUIVEL" in buf:
                 saw_velocity = True
                 break
-        os.write(fd, b"q")
-        # Drain until child exits.
-        t0 = time.time()
-        while time.time() - t0 < 10:
-            r, _, _ = select.select([fd], [], [], 0.5)
-            if not r:
-                continue
-            try:
-                if not os.read(fd, 65536):
-                    break
-            except OSError:
-                break
+        os.write(parent_fd, b"q")
+        try:
+            _, err = proc.communicate(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            _, err = proc.communicate()
     finally:
-        _, status = os.waitpid(pid, 0)
-        os.close(fd)
-    assert saw_velocity, buf[-2000:]
-    assert os.waitstatus_to_exitcode(status) == 0
+        os.close(parent_fd)
+    assert saw_velocity, (buf[-2000:], err[-2000:] if err else b"")
+    assert proc.returncode == 0, err[-2000:] if err else b""
