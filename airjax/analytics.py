@@ -3,10 +3,12 @@
 A capability the reference does not have (its tracker is an online,
 one-packet-at-a-time HashMap): decode an entire capture with the batched
 device pipeline, extract every protocol field of every frame in ONE
-device call (airjax.protocol.fields.extract_fields), pair every position
-message with its most recent opposite-parity predecessor in vectorized
-numpy, and decode ALL CPR pairs at once (airjax.track.cpr_batch). The
-result is a full flight-track table, not just the final state.
+device call (airjax.protocol.fields.extract_fields), pair each position
+message with its most recent opposite-parity predecessor (a per-message
+host loop — cheap next to the DSP decode, as decoded messages are ~5
+orders of magnitude rarer than samples), and decode ALL resulting CPR
+pairs at once (airjax.track.cpr_batch). The result is a full
+flight-track table, not just the final state.
 
 Time is measured in sample offsets (2 MS/s -> the reference's 10 s CPR
 pairing window is 20M samples).

@@ -118,7 +118,13 @@ def _cmd_adsb(args) -> int:
 
     overlap = not args.no_overlap
     ref_position = None
-    if args.ref_lat is not None and args.ref_lon is not None:
+    if (args.ref_lat is None) != (args.ref_lon is None):
+        print(
+            "error: --ref-lat and --ref-lon must be given together",
+            file=sys.stderr,
+        )
+        return 2
+    if args.ref_lat is not None:
         ref_position = (args.ref_lat, args.ref_lon)
 
     # --- display sink (src/adsb.rs:149-167) ---

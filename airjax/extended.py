@@ -66,14 +66,9 @@ def _short_fields_host(frame7: bytes) -> dict:
         altitude = n_val * 25 - 1000
     else:
         altitude = _gillham_altitude_host(ac13)
-    c1, a1, c2, a2, c4, a4 = (int(b) for b in ac13[:6])
-    b1, d1, b2, d2, b4, d4 = (int(b) for b in ac13[7:13])
-    squawk = (
-        ((a4 << 2) | (a2 << 1) | a1) * 1000
-        + ((b4 << 2) | (b2 << 1) | b1) * 100
-        + ((c4 << 2) | (c2 << 1) | c1) * 10
-        + ((d4 << 2) | (d2 << 1) | d1)
-    )
+    from airjax.protocol.packet import squawk_from_id13
+
+    squawk = squawk_from_id13(int(ac13.dot(1 << np.arange(12, -1, -1))))
     return {
         "fs": int((frame7[0] & 0b111)),
         "altitude_ft": altitude,
@@ -167,15 +162,20 @@ def handle_extended_update(
         if packet.bds:
             # Comm-B registers (extension): BDS 2,0 callsign; 5,0/6,0
             # velocity fields feed the same extension attributes as TC19.
+            # infer_bds's contract: multi-register matches are UNCERTAIN.
+            # 2,0 has a strong structural signature (0x20 + charset) and
+            # is applied regardless; 5,0 vs 6,0 is the classic Comm-B
+            # ambiguity — apply those only when exactly one validated, or
+            # a misread heading would overwrite a correct TC19 velocity.
             cs = packet.bds.get("2,0")
             if cs and aircraft.callsign is None:
                 aircraft.callsign = cs
             b50 = packet.bds.get("5,0")
-            if isinstance(b50, dict):
+            b60 = packet.bds.get("6,0")
+            if isinstance(b50, dict) and b60 is None:
                 if "ground_speed_kt" in b50:
                     aircraft.ground_speed_kt = float(b50["ground_speed_kt"])
                 if "track_deg" in b50:
                     aircraft.track_deg = b50["track_deg"]
-            b60 = packet.bds.get("6,0")
-            if isinstance(b60, dict) and "baro_vs_fpm" in b60:
+            if isinstance(b60, dict) and b50 is None and "baro_vs_fpm" in b60:
                 aircraft.vertical_rate_fpm = b60["baro_vs_fpm"]

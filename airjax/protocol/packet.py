@@ -407,21 +407,21 @@ class TargetStateMsg:
 
     msg_type: int
     subtype: int
-    sil_supplement: Optional[int]
-    selected_altitude_ft: Optional[int]
-    altitude_is_fms: Optional[bool]  # False = MCP/FCU source
-    baro_setting_mb: Optional[float]
-    selected_heading_deg: Optional[float]
-    nac_p: Optional[int]
-    nic_baro: Optional[int]
-    sil: Optional[int]
-    mode_valid: Optional[bool]
-    autopilot: Optional[bool]
-    vnav: Optional[bool]
-    alt_hold: Optional[bool]
-    approach: Optional[bool]
-    tcas_operational: Optional[bool]
-    lnav: Optional[bool]
+    sil_supplement: Optional[int] = None
+    selected_altitude_ft: Optional[int] = None
+    altitude_is_fms: Optional[bool] = None  # False = MCP/FCU source
+    baro_setting_mb: Optional[float] = None
+    selected_heading_deg: Optional[float] = None
+    nac_p: Optional[int] = None
+    nic_baro: Optional[int] = None
+    sil: Optional[int] = None
+    mode_valid: Optional[bool] = None
+    autopilot: Optional[bool] = None
+    vnav: Optional[bool] = None
+    alt_hold: Optional[bool] = None
+    approach: Optional[bool] = None
+    tcas_operational: Optional[bool] = None
+    lnav: Optional[bool] = None
 
     @classmethod
     def from_me(cls, me: bytes) -> "TargetStateMsg":
@@ -431,16 +431,8 @@ class TargetStateMsg:
             return (v >> (56 - start - width + 1)) & ((1 << width) - 1)
 
         subtype = field(6, 2)
-        none = cls(
-            msg_type=(me[0] & 0xF8) >> 3, subtype=subtype,
-            sil_supplement=None, selected_altitude_ft=None,
-            altitude_is_fms=None, baro_setting_mb=None,
-            selected_heading_deg=None, nac_p=None, nic_baro=None, sil=None,
-            mode_valid=None, autopilot=None, vnav=None, alt_hold=None,
-            approach=None, tcas_operational=None, lnav=None,
-        )
-        if subtype != 1:
-            return none
+        if subtype != 1:  # legacy subtype 0 / reserved: keep raw
+            return cls(msg_type=(me[0] & 0xF8) >> 3, subtype=subtype)
 
         alt_val = field(10, 11)
         baro_val = field(21, 9)

@@ -149,17 +149,21 @@ def calculate_surface_position(
     j = math.floor(59.0 * lat_e - 60.0 * lat_o + 0.5)
     lat_even = dlat_e * ((j % 60.0) + lat_e)
     lat_odd = dlat_o * ((j % 59.0) + lat_o)
-    if calc_num_zones(lat_even) != calc_num_zones(lat_odd):
-        return None
 
     lat = lat_odd if first is CprFormat.EVEN else lat_even  # newest frame
     # Latitude solutions repeat every 90 deg; pick the one nearest the
     # receiver (candidates clamped to the valid range).
-    lat_candidates = [lat + k * 90.0 for k in (-2, -1, 0, 1)]
-    lat = min(
-        (c for c in lat_candidates if -90.0 <= c <= 90.0),
-        key=lambda c: abs(c - ref_lat),
+    shift = min(
+        (k * 90.0 for k in (-2, -1, 0, 1) if -90.0 <= lat + k * 90.0 <= 90.0),
+        key=lambda s: abs(lat + s - ref_lat),
     )
+    lat += shift
+    # NL consistency gate AFTER hemisphere resolution: NL is not symmetric
+    # across 90-degree shifts, so gating on the raw [0, 90) images lets
+    # southern-hemisphere zone-boundary straddles through with a silently
+    # wrong longitude (found by fuzzing at lat ~ -79.29 across NL 10/11).
+    if calc_num_zones(lat_even + shift) != calc_num_zones(lat_odd + shift):
+        return None
 
     lon_e = even_cpr_lat_lon[1] / _CPR_SCALE
     lon_o = odd_cpr_lat_lon[1] / _CPR_SCALE

@@ -82,3 +82,11 @@ def test_no_overlap_drops_boundary(tmp_path, monkeypatch):
     rc2, out_parity, _ = _run(["adsb", "-p", "b.c16", "--fast", "--no-overlap"])
     assert out_overlap.count("== ") == 1
     assert out_parity.count("== ") == 0
+
+
+def test_ref_flags_must_come_together(capsys):
+    from airjax.cli import main
+
+    rc = main(["adsb", "--synthetic", "1", "--ref-lat", "52.3"])
+    assert rc == 2
+    assert "--ref-lon" in capsys.readouterr().err

@@ -150,3 +150,18 @@ def test_tracker_bds60_velocity():
 
 def test_empty_mb_infers_nothing():
     assert commb.infer_bds(b"\x00" * 7) == {}
+
+
+def test_tracker_skips_ambiguous_50_60():
+    """Review fix: when an MB co-validates as both 5,0 and 6,0 the tracker
+    must not apply either velocity interpretation."""
+    mb = make_bds50(gs_kt=440, tas_kt=450)
+    both = {"5,0": commb.decode_bds50(mb), "6,0": {"baro_vs_fpm": -960}}
+    rep = SurveillanceReply(
+        df=20, icao=ICAO, flight_status=0, altitude_ft=None, squawk=None,
+        time_processed=100.0, bds=both,
+    )
+    aircrafts = {}
+    handle_extended_update(rep, aircrafts)
+    assert aircrafts[ICAO].ground_speed_kt is None
+    assert aircrafts[ICAO].vertical_rate_fpm is None

@@ -86,6 +86,33 @@ def test_surface_cpr_global_roundtrip(lat, lon, ref):
         assert abs(geo.longitude - lon) < 1e-3
 
 
+def test_southern_nl_boundary_straddle_rejected():
+    """Regression (code review): a southern-hemisphere pair straddling an
+    NL zone boundary must be rejected, not decoded with a wrong longitude.
+    The NL gate has to run AFTER hemisphere resolution — the raw [0,90)
+    latitude images of this pair share NL=58 even though the true
+    latitudes straddle NL 10/11."""
+    even = synth.encode_surface_cpr(-79.29402, 43.9, odd=False)
+    odd = synth.encode_surface_cpr(-79.29467, 43.9, odd=True)
+    for first in (CprFormat.EVEN, CprFormat.ODD):
+        geo = calculate_surface_position(even, odd, first, -79.3, 43.9)
+        if geo is not None:
+            # If a fix is produced, it must be a correct one.
+            assert abs(geo.latitude + 79.294) < 0.01
+            assert abs(geo.longitude - 43.9) < 0.01
+
+
+def test_southern_hemisphere_surface_roundtrip():
+    lat, lon = -79.2, 43.9
+    even = synth.encode_surface_cpr(lat, lon, odd=False)
+    odd = synth.encode_surface_cpr(lat, lon, odd=True)
+    for first in (CprFormat.EVEN, CprFormat.ODD):
+        geo = calculate_surface_position(even, odd, first, -79.1, 43.8)
+        assert geo is not None
+        assert abs(geo.latitude - lat) < 1e-3
+        assert abs(geo.longitude - lon) < 1e-3
+
+
 def test_tracker_surface_pairing():
     icao = 0x7C1234
     aircrafts = {}
