@@ -113,6 +113,31 @@ def test_southern_hemisphere_surface_roundtrip():
         assert abs(geo.longitude - lon) < 1e-3
 
 
+def test_surface_cpr_global_fuzz():
+    """Random positions worldwide: every decode is either rejected (NL
+    boundary straddle) or accurate — never silently wrong."""
+    rng = np.random.default_rng(17)
+    n_decoded = 0
+    for _ in range(400):
+        lat = float(rng.uniform(-89.5, 89.5))
+        lon = float(rng.uniform(-180.0, 180.0))
+        # Up to ~1 km of movement between the two frames.
+        lat2 = lat + float(rng.uniform(-0.01, 0.01))
+        even = synth.encode_surface_cpr(lat, lon, odd=False)
+        odd = synth.encode_surface_cpr(lat2, lon, odd=True)
+        ref_lat = lat + float(rng.uniform(-0.5, 0.5))
+        ref_lon = lon + float(rng.uniform(-0.5, 0.5))
+        for first in (CprFormat.EVEN, CprFormat.ODD):
+            geo = calculate_surface_position(even, odd, first, ref_lat, ref_lon)
+            if geo is None:
+                continue
+            n_decoded += 1
+            newest = lat2 if first is CprFormat.EVEN else lat
+            assert abs(geo.latitude - newest) < 0.02, (lat, lon)
+            assert abs(geo.longitude - lon) < 0.02, (lat, lon)
+    assert n_decoded > 500  # the vast majority decode
+
+
 def test_tracker_surface_pairing():
     icao = 0x7C1234
     aircrafts = {}
