@@ -26,7 +26,6 @@ import numpy as np
 from airjax.config import DEFAULT_CONFIG, PipelineConfig
 from airjax.dsp.demod import WINDOW
 from airjax.io.source import Prefetcher
-from airjax.pipeline import decode_iq_block_adaptive
 from airjax.protocol.packet import AdsbPacket
 
 
@@ -62,6 +61,7 @@ def run_stream(
     stats: StreamStats | None = None,
     plot_dir: str | None = None,
     extended: bool = False,
+    pipeline_depth: int = 1,
 ) -> StreamStats:
     """Consume a block source until exhausted; call on_packet per frame.
 
@@ -72,7 +72,19 @@ def run_stream(
     all-call, AP-addressed DF4/5/20/21 surveillance replies, in addition
     to the reference's DF17) — see airjax.extended. on_packet then also
     receives AllCallReply / SurveillanceReply objects.
+
+    pipeline_depth keeps that many decodes in flight before fetching
+    results (JAX async dispatch): block k+1's device work overlaps block
+    k's host-side fetch + packet assembly — on the ~25 ms-RTT remote TPU
+    this hides most of the host turnaround. Packets are still emitted in
+    strict stream order (FIFO drain). 0 restores fully-serial behavior.
     """
+    import collections
+
+    import jax.numpy as jnp
+
+    from airjax.pipeline import decode_iq_block
+
     stats = stats or StreamStats()
     if extended:
         from airjax.extended import assemble_extended
@@ -92,6 +104,51 @@ def run_stream(
     # Global sample index of carry[0]; first block's padded head is masked.
     global_base = -halo
     pending = np.zeros((0, 2), dtype=np.int16)
+
+    decode_fn = decode_iq_block_extended if extended else decode_iq_block
+    inflight: "collections.deque" = collections.deque()
+
+    def _process(entry) -> None:
+        ext, n_off, base, now, n_samples, out_dev = entry
+        out = jax.device_get(out_dev)
+        # Adaptive overflow regrow (synchronous — overflow is rare and
+        # dropped detections would silently lose frames).
+        capacity = cfg.max_candidates
+        while bool(out["overflow"]) and capacity < n_off:
+            capacity = min(capacity * 4, n_off)
+            out = jax.device_get(decode_fn(jnp.asarray(ext), n_off, capacity))
+        emitted = 0
+        if extended:
+            for local, pkt in assemble_extended(out, now, icao_cache):
+                if overlap and base + local < 0:
+                    continue
+                on_packet(pkt)
+                emitted += 1
+        else:
+            for k in np.nonzero(out["good"])[0]:
+                local = int(out["offsets"][k])
+                if overlap and base + local < 0:
+                    continue  # zero-padded head of the very first block
+                on_packet(
+                    AdsbPacket.from_bytes(out["frames"][k].tobytes(), now)
+                )
+                emitted += 1
+                if plot_dir is not None:
+                    from airjax import golden, visualise
+
+                    window = ext[local : local + WINDOW]
+                    visualise.plot_adsb_frame(
+                        golden.magnitude(window),
+                        out_dir=plot_dir,
+                        detection_offset=0,
+                        title=f"frame @ {base + local if overlap else local}",
+                    )
+        stats.blocks += 1
+        stats.samples += n_samples
+        stats.detections += int(out["n_detections"])
+        stats.good += emitted
+        stats.recovered += int(np.sum(out["recovered"]))
+        stats.overflow_blocks += bool(out["overflow"])
 
     for block in Prefetcher(source, depth=prefetch_depth):
         block = np.asarray(block, dtype=np.int16)
@@ -114,55 +171,14 @@ def run_stream(
         else:
             ext = block
             n_off = block.shape[0] - WINDOW
-        now = time.time()
-        emitted = 0
-        if extended:
-            capacity = cfg.max_candidates
-            out = jax.device_get(
-                decode_iq_block_extended(
-                    jax.numpy.asarray(ext), n_off, capacity
-                )
-            )
-            # Same adaptive overflow regrow as the parity path: dropped
-            # detections would silently lose frames.
-            while bool(out["overflow"]) and capacity < n_off:
-                capacity = min(capacity * 4, n_off)
-                out = jax.device_get(
-                    decode_iq_block_extended(
-                        jax.numpy.asarray(ext), n_off, capacity
-                    )
-                )
-            for local, pkt in assemble_extended(out, now, icao_cache):
-                if overlap and global_base + local < 0:
-                    continue
-                on_packet(pkt)
-                emitted += 1
-        else:
-            out = decode_iq_block_adaptive(ext, n_off, cfg.max_candidates)
-            for k in np.nonzero(out["good"])[0]:
-                local = int(out["offsets"][k])
-                if overlap and global_base + local < 0:
-                    continue  # zero-padded head of the very first block
-                on_packet(
-                    AdsbPacket.from_bytes(out["frames"][k].tobytes(), now)
-                )
-                emitted += 1
-                if plot_dir is not None:
-                    from airjax import golden, visualise
-
-                    window = ext[local : local + WINDOW]
-                    visualise.plot_adsb_frame(
-                        golden.magnitude(window),
-                        out_dir=plot_dir,
-                        detection_offset=0,
-                        title=f"frame @ {global_base + local if overlap else local}",
-                    )
-        stats.blocks += 1
-        stats.samples += block.shape[0]
-        stats.detections += int(out["n_detections"])
-        stats.good += emitted
-        stats.recovered += int(np.sum(out["recovered"]))
-        stats.overflow_blocks += bool(out["overflow"])
+        out_dev = decode_fn(jnp.asarray(ext), n_off, cfg.max_candidates)
+        inflight.append(
+            (ext, n_off, global_base, time.time(), block.shape[0], out_dev)
+        )
         if overlap:
             global_base += block.shape[0]
+        while len(inflight) > max(pipeline_depth, 0):
+            _process(inflight.popleft())
+    while inflight:
+        _process(inflight.popleft())
     return stats
