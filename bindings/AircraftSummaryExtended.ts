@@ -1,0 +1,17 @@
+// Type contract for the EXTENDED WebSocket/REST payloads (backend run
+// with --extended): the reference-parity AircraftSummary plus velocity
+// and identity extensions. Matches
+// airjax.track.aircraft.AircraftSummary.to_json(extended=True).
+import type { GeographicPosition } from "./GeographicPosition";
+
+export interface AircraftSummaryExtended {
+  icao: number;
+  callsign: string;
+  altitude: number;
+  geoPosition: GeographicPosition | null;
+  lastContact: number;
+  groundSpeedKt: number | null;
+  trackDeg: number | null;
+  verticalRateFpm: number | null;
+  squawk: number | null;
+}
