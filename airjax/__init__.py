@@ -23,7 +23,12 @@ Layer map (reference file -> airjax module):
   src/sdr.rs, src/receive.rs          -> airjax.sdr, airjax.cli (receive)
   src/adsb/tui.rs, web.rs             -> airjax.ui.{tui,web,stream}
   (absent in reference)               -> airjax.parallel (mesh, halo),
-                                         airjax.kernels (Pallas)
+                                         airjax.kernels (Pallas),
+                                         airjax.extended (all downlink
+                                         formats), airjax.protocol.commb
+                                         (BDS registers), airjax.analytics
+                                         (whole-capture tracks),
+                                         airjax.track.cpr_batch
 """
 
 from airjax.config import PipelineConfig
