@@ -18,13 +18,14 @@ import numpy as np
 
 from airjax.protocol import shortframe
 from airjax.protocol.packet import (
+    AcasReply,
     AdsbPacket,
     AllCallReply,
     SurveillanceReply,
 )
 from airjax.track.icao_cache import IcaoCache
 
-ExtendedPacket = Union[AdsbPacket, AllCallReply, SurveillanceReply]
+ExtendedPacket = Union[AcasReply, AdsbPacket, AllCallReply, SurveillanceReply]
 
 
 def _gillham_altitude_host(ac13: np.ndarray) -> int | None:
@@ -73,6 +74,10 @@ def _short_fields_host(frame7: bytes) -> dict:
         "fs": int((frame7[0] & 0b111)),
         "altitude_ft": altitude,
         "squawk": squawk,
+        # DF0/16 ACAS header fields (same 32 data bits, different layout)
+        "vs": int(bits[5]),
+        "sl": int((bits[8] << 2) | (bits[9] << 1) | bits[10]),
+        "ri": int((bits[13] << 3) | (bits[14] << 2) | (bits[15] << 1) | bits[16]),
     }
 
 
@@ -117,6 +122,28 @@ def assemble_extended(
         raw = frames_raw[k].tobytes()
         fields = _short_fields_host(raw[:7])
         d = int(df[k])
+        if d in (0, 16):  # ACAS air-air (altitude in the same AC13 slot)
+            ra = None
+            if d == 16:
+                from airjax.protocol.acas import decode_mv_ra
+
+                ra = decode_mv_ra(raw[4:11])
+            results.append(
+                (
+                    off,
+                    AcasReply(
+                        df=d,
+                        icao=icao,
+                        vertical_status=fields["vs"],
+                        sensitivity_level=fields["sl"],
+                        reply_information=fields["ri"],
+                        altitude_ft=fields["altitude_ft"],
+                        time_processed=now,
+                        ra=ra,
+                    ),
+                )
+            )
+            continue
         bds = None
         if d in (20, 21):
             from airjax.protocol.commb import infer_bds
@@ -154,6 +181,13 @@ def handle_extended_update(
         return
     aircraft = aircrafts.setdefault(packet.icao, Aircraft(packet.icao))
     aircraft.last_contact = packet.time_processed
+    if isinstance(packet, AcasReply):
+        if packet.altitude_ft is not None:
+            aircraft.altitude = packet.altitude_ft
+        aircraft.on_ground = bool(packet.vertical_status)
+        if packet.ra is not None:
+            aircraft.acas_ra = packet.ra  # extension attribute
+        return
     if isinstance(packet, SurveillanceReply):
         if packet.altitude_ft is not None:
             aircraft.altitude = packet.altitude_ft

@@ -115,8 +115,9 @@ def decode_chunk_extended(iq_chunk: np.ndarray) -> list[tuple[int, str, bytes, i
         if df >= 16:
             calced = crc24(packet[:11])
             pcrc = (packet[11] << 16) | (packet[12] << 8) | packet[13]
-            if df in (20, 21):
-                hits.append((i, "long_ap", packet, calced ^ pcrc))
+            if df in (16, 20, 21):
+                if calced ^ pcrc:  # address 0 is not a real aircraft
+                    hits.append((i, "long_ap", packet, calced ^ pcrc))
                 continue
             if calced == pcrc:
                 hits.append((i, "long", packet, 0))
@@ -130,6 +131,6 @@ def decode_chunk_extended(iq_chunk: np.ndarray) -> list[tuple[int, str, bytes, i
             pi = (short[4] << 16) | (short[5] << 8) | short[6]
             if df == 11 and calced == pi:
                 hits.append((i, "df11", short, 0))
-            elif df in (4, 5):
+            elif df in (0, 4, 5) and calced ^ pi:  # drop address 0
                 hits.append((i, "short_ap", short, calced ^ pi))
     return hits

@@ -36,6 +36,19 @@ def make_df17(icao: int, me: bytes, capability: int = 5) -> bytes:
     return body + bytes([(crc >> 16) & 0xFF, (crc >> 8) & 0xFF, crc & 0xFF])
 
 
+def make_df18(icao: int, me: bytes, cf: int = 0) -> bytes:
+    """Assemble a 14-byte DF18 (extended squitter / non-transponder or
+    TIS-B) frame with a valid CRC-24. CF 0/1/6 are ADS-B, 2/5 fine-format
+    TIS-B (DF17 ME layout); 3/4/7 use other ME encodings."""
+    if len(me) != 7:
+        raise ValueError("ME field must be 7 bytes")
+    body = bytes(
+        [(18 << 3) | cf, (icao >> 16) & 0xFF, (icao >> 8) & 0xFF, icao & 0xFF]
+    ) + me
+    crc = crc24(body)
+    return body + bytes([(crc >> 16) & 0xFF, (crc >> 8) & 0xFF, crc & 0xFF])
+
+
 def make_id_me(callsign: str, tc: int = 4, category: int = 0) -> bytes:
     """Build an AircraftID ME field from an 8-char callsign."""
     cs = callsign.ljust(8, "_")[:8]

@@ -158,21 +158,30 @@ def decode_mags_block_extended(
     # Long-frame path (reference semantics incl. recovery).
     long_bits, long_ok, long_rec = crc_check_and_recover(bits)
     is_long = df >= 16
-    # AP-addressed long frames: residual = ICAO (no recovery possible);
-    # they are excluded from the CRC-validated class even when the
-    # residual happens to be 0 (address 0 is not a real aircraft).
-    cand_long_ap = ((df == 20) | (df == 21)) & valid
-    good_long = long_ok & is_long & valid & ~cand_long_ap
+    # AP-addressed long frames (DF16 ACAS long air-air, DF20/21 Comm-B):
+    # residual = ICAO (no recovery possible); they are excluded from the
+    # CRC-validated class even when the residual happens to be 0, and
+    # address-0 candidates are dropped outright (0 is not a real aircraft
+    # and the host ICAO cache could never accept it — this also keeps
+    # degenerate all-zero streams, whose frames decode as address 0, from
+    # flooding the candidate capacity).
+    is_long_ap = (df == 16) | (df == 20) | (df == 21)
+    good_long = long_ok & is_long & valid & ~is_long_ap
     calced_long = crc24_batch(bits[..., :DATA_BITS])
     pcrc_long = pack_bits_msbfirst(bits[..., DATA_BITS:], 24)
     icao_ap_long = calced_long ^ pcrc_long
+    cand_long_ap = is_long_ap & valid & (icao_ap_long != 0)
 
     # Short-frame path.
     crc_short = shortframe.crc24_short_batch(bits[..., :32])
     pi = pack_bits_msbfirst(bits[..., 32:56], 24)
     icao_ap_short = crc_short ^ pi
     good_df11 = (df == 11) & (icao_ap_short == 0) & valid
-    cand_short_ap = ((df == 4) | (df == 5)) & valid
+    # DF0 (ACAS short air-air) is AP-addressed like DF4/5; address-0
+    # candidates dropped (see the long-frame note above).
+    cand_short_ap = (
+        ((df == 0) | (df == 4) | (df == 5)) & valid & (icao_ap_short != 0)
+    )
 
     frames = bits_to_bytes(long_bits)
     frames_raw = bits_to_bytes(bits)

@@ -603,6 +603,44 @@ class SurveillanceReply:
 
 
 @dataclasses.dataclass
+class AcasReply:
+    """DF0 (short) / DF16 (long) ACAS air-air surveillance reply.
+
+    AP-addressed like DF4/5 (see airjax.protocol.shortframe); DF16's MV
+    field may carry an active resolution advisory (airjax.protocol.acas).
+    """
+
+    df: int
+    icao: int
+    vertical_status: int  # 1 = on ground
+    sensitivity_level: int
+    reply_information: int
+    altitude_ft: Optional[int]  # None if AC13 invalid/metric
+    time_processed: float
+    ra: Optional[dict] = None  # DF16 BDS 3,0 RA report
+
+    def format(self) -> str:
+        lines = [
+            f"== DF{self.df} ACAS air-air ==",
+            f"ICAO            : {self.icao:06X}",
+            f"Vertical Status : {'on ground' if self.vertical_status else 'airborne'}",
+            f"Sensitivity Lvl : {self.sensitivity_level}",
+        ]
+        if self.altitude_ft is not None:
+            lines.append(f"Altitude (ft)   : {self.altitude_ft}")
+        if self.ra:
+            adv = ", ".join(self.ra["advisories"]) or "none"
+            lines.append(f"Resolution Adv. : {adv}")
+            if self.ra["complements"]:
+                lines.append(
+                    f"RA Complements  : {', '.join(self.ra['complements'])}"
+                )
+            if self.ra["terminated"]:
+                lines.append("RA Terminated   : yes")
+        return "\n".join(lines) + "\n"
+
+
+@dataclasses.dataclass
 class AdsbPacket:
     packet: bytes  # full 14 frame bytes
     downlink_format: int
@@ -626,7 +664,23 @@ class AdsbPacket:
         msg_type = packet[4] >> 3
         me = packet[4:11]
         msg: AdsbMsg
-        if 1 <= msg_type <= 4:
+        # Extension: DF18 (extended squitter / non-transponder) shares the
+        # DF17 ME layout only for CF 0/1/6 (ADS-B) and 2/5 (fine-format
+        # TIS-B); CF 3 (coarse TIS-B), 4 (management) and 7 (reserved) use
+        # different ME encodings and stay Unknown. DF19 is military: only
+        # AF=0 is DF17-shaped. The default (parity) path never sees these
+        # (the reference detector hard-gates DF17).
+        me_is_adsb = True
+        if extensions:
+            df = packet[0] >> 3
+            sub = packet[0] & 0b111  # CF (DF18) / AF (DF19)
+            if df == 18:
+                me_is_adsb = sub in (0, 1, 2, 5, 6)
+            elif df == 19:
+                me_is_adsb = sub == 0
+        if not me_is_adsb:
+            msg = UnknownMsg(raw_msg=packet[4:])
+        elif 1 <= msg_type <= 4:
             msg = AircraftId.from_me(me)
         elif 9 <= msg_type <= 18:
             msg = AircraftPositionMsg.from_me(me)

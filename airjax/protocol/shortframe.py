@@ -35,8 +35,8 @@ from airjax.protocol.crc import CRC_BITS, crc24, pack_bits_msbfirst
 SHORT_BITS = 56
 SHORT_DATA_BITS = 32
 
-DF_SHORT_SET = (4, 5, 11)
-DF_LONG_AP_SET = (20, 21)
+DF_SHORT_SET = (0, 4, 5, 11)
+DF_LONG_AP_SET = (16, 20, 21)
 
 
 @functools.cache
@@ -90,6 +90,11 @@ def extract_short_fields(bits56: jnp.ndarray) -> dict[str, jnp.ndarray]:
     um = field(13, 6)
     capability = field(5, 3)  # DF11: CA occupies the FS bits
     icao_aa = field(8, 24)  # DF11: AA address
+    # DF0/16 (ACAS air-air) header fields sharing the same 32 data bits:
+    vs = field(5, 1)  # vertical status (1 = on ground)
+    cc = field(6, 1)  # crosslink capability (DF0)
+    sl = field(8, 3)  # ACAS sensitivity level
+    ri = field(13, 4)  # reply information (airspeed category)
 
     crc_calc = crc24_short_batch(b[..., :SHORT_DATA_BITS])
     parity_field = pack_bits_msbfirst(b[..., SHORT_DATA_BITS:SHORT_BITS], CRC_BITS)
@@ -155,6 +160,10 @@ def extract_short_fields(bits56: jnp.ndarray) -> dict[str, jnp.ndarray]:
         "fs": fs,
         "dr": dr,
         "um": um,
+        "vs": vs,
+        "cc": cc,
+        "sl": sl,
+        "ri": ri,
         "capability": capability,
         "icao_aa": icao_aa,
         "crc_calc": crc_calc,
@@ -233,6 +242,53 @@ def _id13_from_squawk(squawk: int) -> int:
     for bit in bits:
         v = (v << 1) | bit
     return v
+
+
+def _acas_header_word(
+    df: int, altitude_ft: int, vs: int, cc: int, sl: int, ri: int,
+    gillham: bool,
+) -> int:
+    """32-bit DF0/16 data word: DF VS CC _ SL __ RI __ AC13."""
+    ac13 = (
+        _ac13_gillham_from_altitude(altitude_ft)
+        if gillham
+        else _ac13_from_altitude(altitude_ft)
+    )
+    return (
+        (df << 27) | (vs << 26) | (cc << 25) | (sl << 21) | (ri << 15) | ac13
+    )
+
+
+def make_df0(
+    icao: int, altitude_ft: int, vs: int = 0, cc: int = 1, sl: int = 5,
+    ri: int = 3, gillham: bool = False,
+) -> bytes:
+    """Assemble a 7-byte DF0 ACAS short air-air reply addressed via AP."""
+    body = _acas_header_word(0, altitude_ft, vs, cc, sl, ri, gillham).to_bytes(
+        4, "big"
+    )
+    ap = crc24(body) ^ icao
+    return body + bytes([(ap >> 16) & 0xFF, (ap >> 8) & 0xFF, ap & 0xFF])
+
+
+def make_df16(
+    icao: int, altitude_ft: int, mv: bytes = b"\x00" * 7, vs: int = 0,
+    sl: int = 5, ri: int = 3, gillham: bool = False,
+) -> bytes:
+    """Assemble a 14-byte DF16 ACAS long air-air reply addressed via AP.
+
+    `mv` is the 7-byte MV field (see airjax.protocol.acas.make_mv_ra for
+    RA reports)."""
+    if len(mv) != 7:
+        raise ValueError("MV field must be 7 bytes")
+    body = (
+        _acas_header_word(16, altitude_ft, vs, 0, sl, ri, gillham).to_bytes(
+            4, "big"
+        )
+        + mv
+    )
+    ap = crc24(body) ^ icao
+    return body + bytes([(ap >> 16) & 0xFF, (ap >> 8) & 0xFF, ap & 0xFF])
 
 
 def make_df4(

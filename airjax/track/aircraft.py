@@ -91,6 +91,7 @@ class Aircraft:
         self.adsb_version: Optional[int] = None  # extension (TC31)
         self.selected_altitude_ft: Optional[int] = None  # extension (TC29)
         self.selected_heading_deg: Optional[float] = None  # extension (TC29)
+        self.acas_ra: Optional[dict] = None  # extension (DF16 RA report)
         self.altitude = 0
         self.geo_position: Optional[GeographicPosition] = None
         self.last_contact = now

@@ -197,11 +197,13 @@ long long airjax_decode_chunk(const int16_t* iq, long long n_samples,
 // Extended-mode scalar decoder (extension; mirrors the classification of
 // airjax.golden.decode_chunk_extended): preamble-only gate, then per
 // candidate:
-//   DF >= 16, DF 20/21  -> kind 3 (long AP candidate, icao = crc ^ field)
+//   DF 16/20/21         -> kind 3 (long AP candidate, icao = crc ^ field;
+//                          dropped when the address is 0 — not a real
+//                          aircraft, keeps all-zero streams from flooding)
 //   DF >= 16 otherwise  -> kind 0 when CRC validates (1-bit recovery
 //                          applied), else dropped
 //   DF 11, PI == CRC    -> kind 1 (56-bit all-call)
-//   DF 4/5              -> kind 2 (short AP candidate)
+//   DF 0/4/5            -> kind 2 (short AP candidate, address 0 dropped)
 // ---------------------------------------------------------------------------
 
 static bool check_preamble_only(const uint32_t* m) {
@@ -239,9 +241,9 @@ long long airjax_decode_chunk_extended(
       uint32_t calced = airjax_crc24(bytes, 11);
       uint32_t pcrc = ((uint32_t)bytes[11] << 16) | ((uint32_t)bytes[12] << 8) |
                       bytes[13];
-      if (df == 20 || df == 21) {
-        kind = 3;
+      if (df == 16 || df == 20 || df == 21) {
         icao_ap = calced ^ pcrc;
+        if (icao_ap) kind = 3;
       } else if (calced == pcrc) {
         kind = 0;
       } else {
@@ -261,9 +263,9 @@ long long airjax_decode_chunk_extended(
                     bytes[6];
       if (df == 11 && calced == pi) {
         kind = 1;
-      } else if (df == 4 || df == 5) {
-        kind = 2;
+      } else if (df == 0 || df == 4 || df == 5) {
         icao_ap = calced ^ pi;
+        if (icao_ap) kind = 2;
       }
     }
     if (kind == 0xFF) continue;
