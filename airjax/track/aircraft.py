@@ -51,6 +51,8 @@ class AircraftSummary:
     track_deg: Optional[float] = None
     vertical_rate_fpm: Optional[int] = None
     squawk: Optional[int] = None
+    on_ground: bool = False
+    acas_ra: Optional[str] = None  # active RA clauses, comma-joined
 
     def to_json(self, extended: bool = False) -> dict:
         out = {
@@ -71,6 +73,8 @@ class AircraftSummary:
             out["trackDeg"] = self.track_deg
             out["verticalRateFpm"] = self.vertical_rate_fpm
             out["squawk"] = self.squawk
+            out["onGround"] = self.on_ground
+            out["acasRa"] = self.acas_ra
         return out
 
 
@@ -236,6 +240,14 @@ class Aircraft:
             track_deg=self.track_deg,
             vertical_rate_fpm=self.vertical_rate_fpm,
             squawk=self.squawk,
+            on_ground=self.on_ground,
+            acas_ra=(
+                ", ".join(self.acas_ra["advisories"])
+                if self.acas_ra
+                and not self.acas_ra["terminated"]
+                and self.acas_ra["advisories"]
+                else None
+            ),
         )
 
 

@@ -188,6 +188,8 @@ function draw() {
       }
       if (a.verticalRateFpm != null) lines.push(`v/s      ${a.verticalRateFpm} fpm`);
       if (a.squawk != null) lines.push(`squawk   ${String(a.squawk).padStart(4, "0")}`);
+      if (a.onGround) lines.push("status   on ground");
+      if (a.acasRa) lines.push(`TCAS RA  ${a.acasRa}`);
       const pw = 210 * devicePixelRatio;
       ctx.fillStyle = "rgba(16,26,56,0.95)";
       ctx.fillRect(x + 22, y - 10, pw, 14 + 16 * lines.length);

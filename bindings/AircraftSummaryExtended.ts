@@ -14,4 +14,7 @@ export interface AircraftSummaryExtended {
   trackDeg: number | null;
   verticalRateFpm: number | null;
   squawk: number | null;
+  onGround: boolean;
+  /** Active TCAS resolution-advisory clauses, comma-joined (DF16 BDS 3,0). */
+  acasRa: string | null;
 }

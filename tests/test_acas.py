@@ -171,6 +171,17 @@ def test_tracker_update_from_acas():
     a = aircrafts[ICAO]
     assert a.altitude == 900 and a.on_ground and a.acas_ra == ra
 
+    summary = a.get_summary().to_json(extended=True)
+    assert summary["onGround"] is True
+    assert summary["acasRa"] == "corrective"
+    # Terminated RAs stop being advertised.
+    a.acas_ra = dict(ra, terminated=True)
+    assert a.get_summary().to_json(extended=True)["acasRa"] is None
+    # Parity-schema JSON stays reference-exact (no extra keys).
+    assert set(a.get_summary().to_json()) == {
+        "icao", "callsign", "altitude", "geoPosition", "lastContact",
+    }
+
 
 # ---------------------------------------------------------------------------
 # Three-way oracle agreement on the mixed capture
