@@ -91,6 +91,7 @@ def assemble_extended(
     df = np.asarray(out["df"])
     good_long = np.asarray(out["good_long"])
     good_df11 = np.asarray(out["good_df11"])
+    cand_df11_ic = np.asarray(out["cand_df11_ic"])
     cand_short = np.asarray(out["cand_short_ap"])
     cand_long = np.asarray(out["cand_long_ap"])
     icao_short = np.asarray(out["icao_ap_short"])
@@ -113,13 +114,31 @@ def assemble_extended(
                 (off, AllCallReply(icao=icao, capability=raw[0] & 0b111, time_processed=now))
             )
 
-    # Pass 2: AP-addressed candidates gated on the cache.
-    for k in np.nonzero(cand_short | cand_long)[0]:
+    # Pass 2: candidates gated on the cache — AP-addressed frames (the
+    # CRC residual IS the address) and interrogated DF11 all-calls (the
+    # AA is cleartext but PI ^ CRC is an interrogator code, so the
+    # checksum no longer independently validates).
+    for k in np.nonzero(cand_short | cand_long | cand_df11_ic)[0]:
         off = int(offsets[k])
+        raw = frames_raw[k].tobytes()
+        if cand_df11_ic[k]:
+            aa = (raw[1] << 16) | (raw[2] << 8) | raw[3]
+            if cache.contains(aa, now):
+                results.append(
+                    (
+                        off,
+                        AllCallReply(
+                            icao=aa,
+                            capability=raw[0] & 0b111,
+                            time_processed=now,
+                            interrogator=int(icao_short[k]),
+                        ),
+                    )
+                )
+            continue
         icao = int(icao_short[k] if cand_short[k] else icao_long[k])
         if not cache.contains(icao, now):
             continue
-        raw = frames_raw[k].tobytes()
         fields = _short_fields_host(raw[:7])
         d = int(df[k])
         if d in (0, 16):  # ACAS air-air (altitude in the same AC13 slot)

@@ -131,6 +131,8 @@ def decode_chunk_extended(iq_chunk: np.ndarray) -> list[tuple[int, str, bytes, i
             pi = (short[4] << 16) | (short[5] << 8) | short[6]
             if df == 11 and calced == pi:
                 hits.append((i, "df11", short, 0))
+            elif df == 11 and (calced ^ pi) < 80:  # interrogated all-call
+                hits.append((i, "df11_ic", short, calced ^ pi))
             elif df in (0, 4, 5) and calced ^ pi:  # drop address 0
                 hits.append((i, "short_ap", short, calced ^ pi))
     return hits

@@ -185,7 +185,7 @@ def decode_chunk(
     return hits, int(n_det.value)
 
 
-_EXT_KINDS = ("long", "df11", "short_ap", "long_ap")
+_EXT_KINDS = ("long", "df11", "short_ap", "long_ap", "df11_ic")
 
 
 def decode_chunk_extended(

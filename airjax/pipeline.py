@@ -177,6 +177,13 @@ def decode_mags_block_extended(
     pi = pack_bits_msbfirst(bits[..., 32:56], 24)
     icao_ap_short = crc_short ^ pi
     good_df11 = (df == 11) & (icao_ap_short == 0) & valid
+    # DF11 interrogated all-calls: PI = CRC ^ interrogator code (II/SI,
+    # encoded range < 80). The AA address is cleartext but the checksum
+    # no longer independently validates, so these are candidates gated
+    # host-side on the ICAO cache (like AP frames).
+    cand_df11_ic = (
+        (df == 11) & valid & (icao_ap_short != 0) & (icao_ap_short < 80)
+    )
     # DF0 (ACAS short air-air) is AP-addressed like DF4/5; address-0
     # candidates dropped (see the long-frame note above).
     cand_short_ap = (
@@ -194,6 +201,7 @@ def decode_mags_block_extended(
         "good_long": good_long,
         "recovered": long_rec & good_long,
         "good_df11": good_df11,
+        "cand_df11_ic": cand_df11_ic,
         "cand_short_ap": cand_short_ap,
         "cand_long_ap": cand_long_ap,
         "icao_ap_short": icao_ap_short,

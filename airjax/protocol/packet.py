@@ -554,18 +554,26 @@ AdsbMsg = Union[
 
 @dataclasses.dataclass
 class AllCallReply:
-    """DF11 all-call reply (56-bit)."""
+    """DF11 all-call reply (56-bit).
+
+    `interrogator` is the II/SI code recovered from PI ^ CRC: 0 for
+    spontaneous acquisition squitters (directly validated), nonzero for
+    interrogated replies (cache-gated, see airjax.extended)."""
 
     icao: int
     capability: int
     time_processed: float
+    interrogator: int = 0
 
     def format(self) -> str:
-        return (
+        out = (
             "== DF11 all-call ==\n"
             f"ICAO            : {self.icao:06X}\n"
             f"Capability      : {self.capability}\n"
         )
+        if self.interrogator:
+            out += f"Interrogator    : {self.interrogator}\n"
+        return out
 
 
 @dataclasses.dataclass

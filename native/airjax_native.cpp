@@ -203,6 +203,8 @@ long long airjax_decode_chunk(const int16_t* iq, long long n_samples,
 //   DF >= 16 otherwise  -> kind 0 when CRC validates (1-bit recovery
 //                          applied), else dropped
 //   DF 11, PI == CRC    -> kind 1 (56-bit all-call)
+//   DF 11, 0 < crc^pi < 80 -> kind 4 (interrogated all-call candidate;
+//                          the residual is the II/SI interrogator code)
 //   DF 0/4/5            -> kind 2 (short AP candidate, address 0 dropped)
 // ---------------------------------------------------------------------------
 
@@ -263,6 +265,9 @@ long long airjax_decode_chunk_extended(
                     bytes[6];
       if (df == 11 && calced == pi) {
         kind = 1;
+      } else if (df == 11 && (calced ^ pi) < 80) {
+        kind = 4;
+        icao_ap = calced ^ pi;
       } else if (df == 0 || df == 4 || df == 5) {
         icao_ap = calced ^ pi;
         if (icao_ap) kind = 2;

@@ -204,6 +204,11 @@ def test_acas_mix_matches_scalar_and_native_oracles():
             ours.append((off, "long", out["frames"][k].tobytes(), 0))
         elif out["good_df11"][k]:
             ours.append((off, "df11", out["frames_raw"][k].tobytes()[:7], 0))
+        elif out["cand_df11_ic"][k]:
+            ours.append(
+                (off, "df11_ic", out["frames_raw"][k].tobytes()[:7],
+                 int(out["icao_ap_short"][k]))
+            )
         elif out["cand_short_ap"][k]:
             ours.append(
                 (off, "short_ap", out["frames_raw"][k].tobytes()[:7],

@@ -26,6 +26,10 @@ def _device_classified(iq):
             hits.append((off, "long", out["frames"][k].tobytes(), 0))
         elif out["good_df11"][k]:
             hits.append((off, "df11", out["frames_raw"][k].tobytes()[:7], 0))
+        elif out["cand_df11_ic"][k]:
+            hits.append(
+                (off, "df11_ic", out["frames_raw"][k].tobytes()[:7], int(out["icao_ap_short"][k]))
+            )
         elif out["cand_short_ap"][k]:
             hits.append(
                 (off, "short_ap", out["frames_raw"][k].tobytes()[:7], int(out["icao_ap_short"][k]))
