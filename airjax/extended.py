@@ -223,12 +223,24 @@ def handle_extended_update(
             cs = packet.bds.get("2,0")
             if cs and aircraft.callsign is None:
                 aircraft.callsign = cs
+            b30 = packet.bds.get("3,0")
+            if isinstance(b30, dict):
+                aircraft.acas_ra = b30  # Comm-B RA report (BDS 3,0)
+            # A structural match on 1,0/1,7/3,0 (explicit BDS-code or
+            # reserved-zero signatures) makes a coincidental 5,0/6,0
+            # velocity reading suspect — skip it then.
+            structural = any(k in packet.bds for k in ("1,0", "1,7", "3,0"))
             b50 = packet.bds.get("5,0")
             b60 = packet.bds.get("6,0")
-            if isinstance(b50, dict) and b60 is None:
+            if isinstance(b50, dict) and b60 is None and not structural:
                 if "ground_speed_kt" in b50:
                     aircraft.ground_speed_kt = float(b50["ground_speed_kt"])
                 if "track_deg" in b50:
                     aircraft.track_deg = b50["track_deg"]
-            if isinstance(b60, dict) and b50 is None and "baro_vs_fpm" in b60:
+            if (
+                isinstance(b60, dict)
+                and b50 is None
+                and not structural
+                and "baro_vs_fpm" in b60
+            ):
                 aircraft.vertical_rate_fpm = b60["baro_vs_fpm"]

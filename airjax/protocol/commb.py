@@ -165,6 +165,56 @@ def decode_bds60(mb: bytes) -> Optional[dict]:
     return out or None
 
 
+def decode_bds10(mb: bytes) -> Optional[dict]:
+    """BDS 1,0 data link capability report."""
+    v = _bits(mb)
+    if mb[0] != 0x10:  # BDS code is explicit in this register
+        return None
+    if _field(v, 10, 5) != 0:  # reserved bits
+        return None
+    version = _field(v, 17, 7)  # Mode S subnetwork version number
+    if version > 5:
+        return None
+    return {
+        "continuation": bool(_field(v, 9, 1)),
+        "overlay_command_capability": bool(_field(v, 15, 1)),
+        "subnetwork_version": version,
+        "enhanced_protocol": bool(_field(v, 24, 1)),
+        "specific_services": bool(_field(v, 25, 1)),
+        "aircraft_id_capability": bool(_field(v, 33, 1)),
+    }
+
+
+_GICB_REGS = (
+    "0,5", "0,6", "0,7", "0,8", "0,9", "0,A", "2,0", "2,1",
+    "4,0", "4,1", "4,2", "4,3", "4,4", "4,5", "4,8", "5,0",
+    "5,1", "5,2", "5,3", "5,4", "5,5", "5,6", "5,F", "6,0",
+)
+
+
+def decode_bds17(mb: bytes) -> Optional[dict]:
+    """BDS 1,7 common usage GICB capability report: bits 1-24 flag
+    support for the registers in _GICB_REGS; 25-56 are reserved."""
+    v = _bits(mb)
+    if _field(v, 25, 32) != 0:  # reserved tail must be zero
+        return None
+    caps = [_field(v, i + 1, 1) for i in range(24)]
+    if not caps[6]:  # BDS 2,0 (identification) support is universal
+        return None
+    return {"supported": [r for r, c in zip(_GICB_REGS, caps) if c]}
+
+
+def decode_bds30(mb: bytes) -> Optional[dict]:
+    """BDS 3,0 ACAS active resolution advisory (same layout as the DF16
+    MV field, airjax.protocol.acas)."""
+    from airjax.protocol.acas import decode_mv_ra
+
+    ra = decode_mv_ra(mb)
+    if ra is None or ra["threat_type"] == 3:  # TTI 3 is reserved
+        return None
+    return ra
+
+
 def infer_bds(mb: bytes) -> dict[str, dict | str]:
     """Try every supported register; return {bds: decoded} for all that
     validate. Empty MB (all zeros) matches nothing."""
@@ -174,7 +224,14 @@ def infer_bds(mb: bytes) -> dict[str, dict | str]:
     cs = decode_bds20(mb)
     if cs is not None:
         out["2,0"] = cs
-    for name, fn in (("4,0", decode_bds40), ("5,0", decode_bds50), ("6,0", decode_bds60)):
+    for name, fn in (
+        ("1,0", decode_bds10),
+        ("1,7", decode_bds17),
+        ("3,0", decode_bds30),
+        ("4,0", decode_bds40),
+        ("5,0", decode_bds50),
+        ("6,0", decode_bds60),
+    ):
         d = fn(mb)
         if d is not None:
             out[name] = d

@@ -165,3 +165,88 @@ def test_tracker_skips_ambiguous_50_60():
     handle_extended_update(rep, aircrafts)
     assert aircrafts[ICAO].ground_speed_kt is None
     assert aircrafts[ICAO].vertical_rate_fpm is None
+
+
+# ---------------------------------------------------------------------------
+# BDS 1,0 / 1,7 / 3,0 (data link capability, GICB capability, ACAS RA)
+# ---------------------------------------------------------------------------
+
+
+def make_bds10(version=3, aircraft_id=True, overlay=True):
+    return _pack_fields(
+        (0x10, 8), (0, 1), (0, 5), (int(overlay), 1), (0, 1),
+        (version, 7), (1, 1), (1, 1), (0, 3), (0, 4),
+        (int(aircraft_id), 1), (1, 1), (0, 1), (1, 1), (0, 4), (0, 16),
+    )
+
+
+def make_bds17(reg_bits=("0,5", "2,0", "4,0", "5,0", "6,0")):
+    mask = 0
+    for i, name in enumerate(commb._GICB_REGS):
+        if name in reg_bits:
+            mask |= 1 << (23 - i)
+    return _pack_fields((mask, 24), (0, 32))
+
+
+def test_bds10_roundtrip():
+    d = commb.decode_bds10(make_bds10(version=4, aircraft_id=True))
+    assert d == {
+        "continuation": False,
+        "overlay_command_capability": True,
+        "subnetwork_version": 4,
+        "enhanced_protocol": True,
+        "specific_services": True,
+        "aircraft_id_capability": True,
+    }
+    # Wrong BDS code byte or bogus version rejects.
+    assert commb.decode_bds10(b"\x11" + make_bds10()[1:]) is None
+    assert commb.decode_bds10(make_bds10(version=99)) is None
+
+
+def test_bds17_roundtrip():
+    d = commb.decode_bds17(make_bds17())
+    assert d == {"supported": ["0,5", "2,0", "4,0", "5,0", "6,0"]}
+    # Reserved tail nonzero, or no BDS 2,0 support -> reject.
+    assert commb.decode_bds17(make_bds17() [:6] + b"\x01") is None
+    assert commb.decode_bds17(make_bds17(reg_bits=("5,0",))) is None
+
+
+def test_bds30_ra_in_comm_b():
+    from airjax.protocol import acas
+
+    mv = acas.make_mv_ra(0b11000010000000, rac=0b0100, tti=1, tid=ICAO << 2)
+    d = commb.decode_bds30(mv)
+    assert d["advisories"] == ["corrective", "upward sense", "positive"]
+    assert d["complements"] == ["do not pass above"]
+    assert d["threat_icao"] == ICAO
+    # Reserved threat type rejects.
+    assert commb.decode_bds30(acas.make_mv_ra(1, tti=3)) is None
+    assert commb.decode_bds30(b"\x20" + mv[1:]) is None
+
+
+def test_infer_bds_identifies_new_registers():
+    assert set(commb.infer_bds(make_bds10())) >= {"1,0"}
+    assert "1,7" in commb.infer_bds(make_bds17())
+    from airjax.protocol import acas
+
+    mv = acas.make_mv_ra(0b11000010000000)
+    assert "3,0" in commb.infer_bds(mv)
+    # The existing registers still resolve unambiguously.
+    assert set(commb.infer_bds(make_bds20("QFA12___"))) == {"2,0"}
+
+
+def test_bds30_updates_tracker_ra():
+    from airjax.protocol import acas
+    from airjax.track.aircraft import Aircraft
+
+    mv = acas.make_mv_ra(0b11000010000000, tti=1, tid=0xABC123 << 2)
+    pkt = SurveillanceReply(
+        df=20, icao=ICAO, flight_status=0, altitude_ft=35000, squawk=None,
+        time_processed=99.0, bds=commb.infer_bds(mv),
+    )
+    aircrafts = {}
+    handle_extended_update(pkt, aircrafts)
+    a = aircrafts[ICAO]
+    assert a.acas_ra and a.acas_ra["threat_icao"] == 0xABC123
+    # A structural 3,0 match must not leak a coincidental 5,0/6,0 reading.
+    assert a.ground_speed_kt is None and a.vertical_rate_fpm is None
