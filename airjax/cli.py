@@ -127,6 +127,34 @@ def _cmd_adsb(args) -> int:
     if args.ref_lat is not None:
         ref_position = (args.ref_lat, args.ref_lon)
 
+    # --- tracker checkpoint/resume (extension; see airjax.track.state) ---
+    restored = None
+    if args.state:
+        import os
+
+        if args.mode == "stream":
+            print(
+                "warning: --state has no effect in stream mode (no tracker)",
+                file=sys.stderr,
+            )
+        elif os.path.exists(args.state):
+            from airjax.track.state import load_state
+
+            try:
+                restored = load_state(args.state)
+                print(f"restored {len(restored)} aircraft from {args.state}")
+            except (ValueError, KeyError, TypeError) as e:
+                # ValueError covers json.JSONDecodeError too.
+                print(f"error: bad state file {args.state}: {e}", file=sys.stderr)
+                return 1
+
+    def _save_state(aircrafts) -> None:
+        if args.state and args.mode != "stream":
+            from airjax.track.state import save_state
+
+            save_state(aircrafts, args.state)
+            print(f"saved {len(aircrafts)} aircraft to {args.state}")
+
     # --- display sink (src/adsb.rs:149-167) ---
     if args.mode == "stream":
         from airjax.ui.stream import jsonl_writer, stream_printer, tee
@@ -144,6 +172,8 @@ def _cmd_adsb(args) -> int:
         from airjax.ui.tui import TuiApp, interactive_display
 
         app = TuiApp(ref_position=ref_position)
+        if restored:
+            app.aircrafts.update(restored)
         decode_thread = threading.Thread(
             target=run_stream,
             args=(source, app.on_packet),
@@ -152,6 +182,7 @@ def _cmd_adsb(args) -> int:
         )
         decode_thread.start()
         interactive_display(app)
+        _save_state(app.aircrafts)
         return 0
     elif args.mode == "web":
         from airjax.ui.web import WebDisplay
@@ -164,17 +195,21 @@ def _cmd_adsb(args) -> int:
             ref_position=ref_position,
         )
         display.start_background()
-        stats = run_stream(
-            source, display.on_packet, overlap=overlap, extended=args.extended
-        )
-        print("source exhausted; web server still running (Ctrl-C to quit)")
-        import time
-
+        if restored:
+            display.aircrafts.update(restored)
         try:
+            stats = run_stream(
+                source, display.on_packet, overlap=overlap, extended=args.extended
+            )
+            print("source exhausted; web server still running (Ctrl-C to quit)")
+            import time
+
             while True:
                 time.sleep(1)
         except KeyboardInterrupt:
             return 0
+        finally:
+            _save_state(display.aircrafts)
     else:  # pragma: no cover
         raise ValueError(args.mode)
 
@@ -218,6 +253,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--extended",
         action="store_true",
         help="decode all Mode S downlink formats (DF4/5/11/20/21), not just DF17",
+    )
+    adsb.add_argument(
+        "--state", default=None, metavar="FILE",
+        help="tracker checkpoint: restore at start, save on exit "
+        "(web/interactive modes)",
     )
     adsb.add_argument(
         "--ref-lat", type=float, default=None,

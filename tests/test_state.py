@@ -1,0 +1,129 @@
+"""Tracker checkpoint/resume (airjax.track.state) — extension tests.
+
+The reference persists only .c16 captures; airjax snapshots the whole
+aircraft table, including the stashed odd/even CPR frames, so a restart
+resumes pairing mid-pair.
+"""
+
+import json
+
+import pytest
+
+from airjax.protocol.packet import AdsbPacket
+from airjax.track import state
+from airjax.track.aircraft import Aircraft, handle_aircraft_update
+
+# The reference's own integration vectors (src/adsb/aircraft.rs:202-212):
+# textbook even/odd pair decoding to (52.25720, 3.91937) [code behavior].
+EVEN_HEX = "8D40621D58C382D690C8AC2863A7"
+ODD_HEX = "8D40621D58C386435CC412692AD6"
+ID_HEX = "8D4840D6202CC371C32CE0576098"
+
+
+def test_roundtrip_preserves_fields(tmp_path):
+    aircrafts: dict[int, Aircraft] = {}
+    handle_aircraft_update(AdsbPacket.from_hex(ID_HEX, 100.0), aircrafts)
+    handle_aircraft_update(AdsbPacket.from_hex(EVEN_HEX, 101.0), aircrafts)
+    handle_aircraft_update(AdsbPacket.from_hex(ODD_HEX, 102.0), aircrafts)
+    a = aircrafts[0x40621D]
+    assert a.geo_position is not None
+
+    path = tmp_path / "state.json"
+    state.save_state(aircrafts, path)
+    back = state.load_state(path)
+
+    assert set(back) == set(aircrafts)
+    b = back[0x40621D]
+    assert b.altitude == a.altitude
+    assert b.geo_position.latitude == pytest.approx(a.geo_position.latitude)
+    assert b.geo_position.longitude == pytest.approx(a.geo_position.longitude)
+    assert b.last_even_packet == a.last_even_packet
+    assert b.last_odd_packet == a.last_odd_packet
+    assert back[0x4840D6].callsign == aircrafts[0x4840D6].callsign == "KLM1023_"
+
+
+def test_resume_continues_cpr_pairing(tmp_path):
+    """An even frame stashed before the checkpoint pairs with an odd
+    frame decoded after the restore."""
+    aircrafts: dict[int, Aircraft] = {}
+    handle_aircraft_update(AdsbPacket.from_hex(EVEN_HEX, 100.0), aircrafts)
+    assert aircrafts[0x40621D].geo_position is None  # only one parity yet
+
+    path = tmp_path / "state.json"
+    state.save_state(aircrafts, path)
+    resumed = state.load_state(path)
+
+    handle_aircraft_update(AdsbPacket.from_hex(ODD_HEX, 104.0), resumed)
+    geo = resumed[0x40621D].geo_position
+    assert geo is not None
+
+    # Bit-identical to an uninterrupted session decoding the same pair.
+    fresh: dict[int, Aircraft] = {}
+    handle_aircraft_update(AdsbPacket.from_hex(EVEN_HEX, 100.0), fresh)
+    handle_aircraft_update(AdsbPacket.from_hex(ODD_HEX, 104.0), fresh)
+    ref = fresh[0x40621D].geo_position
+    assert (geo.latitude, geo.longitude) == (ref.latitude, ref.longitude)
+
+
+def test_version_check_and_atomicity(tmp_path):
+    path = tmp_path / "state.json"
+    path.write_text(json.dumps({"version": 999, "aircraft": []}))
+    with pytest.raises(ValueError):
+        state.load_state(path)
+
+    # save_state over a corrupt file replaces it atomically.
+    state.save_state({}, path)
+    assert state.load_state(path) == {}
+    assert not list(tmp_path.glob(".airjax_state.*"))  # no temp litter
+
+
+def test_extension_fields_roundtrip(tmp_path):
+    a = Aircraft(0xABCDEF)
+    a.squawk = 7700
+    a.ground_speed_kt = 412.5
+    a.vertical_rate_fpm = -640
+    a.on_ground = False
+    a.acas_ra = {"advisories": ["corrective"], "complements": [],
+                 "terminated": False, "multiple_threats": False,
+                 "threat_type": 0, "ara": 0, "rac": 0}
+    path = tmp_path / "s.json"
+    state.save_state({a.icao: a}, path)
+    b = state.load_state(path)[0xABCDEF]
+    assert b.squawk == 7700 and b.ground_speed_kt == 412.5
+    assert b.vertical_rate_fpm == -640 and b.acas_ra == a.acas_ra
+
+
+def _raise_interrupt(_seconds):
+    raise KeyboardInterrupt
+
+
+def test_cli_state_flag_web_mode(tmp_path, capsys, monkeypatch):
+    """adsb -m web --state FILE restores then saves on source exhaustion."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from airjax.cli import main
+
+    # Seed a state file with one aircraft.
+    a = Aircraft(0x123456)
+    a.callsign = "SAVEDAC_"
+    seed = tmp_path / "tracker.json"
+    state.save_state({a.icao: a}, seed)
+
+    # After the synthetic source is exhausted, web mode parks in a
+    # sleep(1) loop; nothing else on this path sleeps, so simulate the
+    # user's Ctrl-C there.
+    import time
+
+    monkeypatch.setattr(time, "sleep", _raise_interrupt)
+    rc = main(
+        ["adsb", "--synthetic", "1", "-m", "web", "--port", "0",
+         "--state", str(seed)]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "restored 1 aircraft" in out
+    assert "saved" in out
+    # The decoded synthetic traffic joined the restored aircraft.
+    back = state.load_state(seed)
+    assert 0x123456 in back and len(back) >= 2
