@@ -91,14 +91,11 @@ fetch("airfields.csv")
 if (DEMO_MODE) startDemo();
 else connect();
 
-const R_EARTH_M = 6371000;
+// Azimuthal haversine-distance + bearing projection, math-identical to the
+// reference frontend (position.ts Center.get_xy); functions in projection.js.
 function project(lat, lon) {
-  // Local azimuthal approximation around the display center.
-  const dLat = ((lat - center.lat) * Math.PI) / 180;
-  const dLon = ((lon - center.lon) * Math.PI) / 180;
-  const x = dLon * Math.cos((center.lat * Math.PI) / 180) * R_EARTH_M;
-  const y = -dLat * R_EARTH_M;
-  return { x, y };
+  const xy = getXY(center.lat, center.lon, 0, 0, 1, lat, lon);
+  return { x: xy[0], y: xy[1] };
 }
 
 function draw() {
