@@ -213,6 +213,11 @@ def handle_extended_update(
         if packet.squawk is not None:
             aircraft.squawk = packet.squawk  # extension attribute
         if packet.bds:
+            # Surface inference ambiguity (VERDICT r1 item 8): record every
+            # register the MB validated as; >1 entry tells consumers the
+            # reading is uncertain (carried as bdsCandidates in the
+            # extended WS schema).
+            aircraft.bds_candidates = sorted(packet.bds)
             # Comm-B registers (extension): BDS 2,0 callsign; 5,0/6,0
             # velocity fields feed the same extension attributes as TC19.
             # infer_bds's contract: multi-register matches are UNCERTAIN.

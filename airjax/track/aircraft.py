@@ -53,6 +53,11 @@ class AircraftSummary:
     squawk: Optional[int] = None
     on_ground: bool = False
     acas_ra: Optional[str] = None  # active RA clauses, comma-joined
+    # Comm-B BDS registers the last DF20/21 MB field validated as. More
+    # than one entry = the classic Comm-B inference ambiguity (the MB
+    # field carries no register id); consumers must treat the decoded
+    # velocity/heading extensions as uncertain then.
+    bds_candidates: Optional[list] = None
 
     def to_json(self, extended: bool = False) -> dict:
         out = {
@@ -75,6 +80,7 @@ class AircraftSummary:
             out["squawk"] = self.squawk
             out["onGround"] = self.on_ground
             out["acasRa"] = self.acas_ra
+            out["bdsCandidates"] = self.bds_candidates
         return out
 
 
@@ -96,6 +102,7 @@ class Aircraft:
         self.selected_altitude_ft: Optional[int] = None  # extension (TC29)
         self.selected_heading_deg: Optional[float] = None  # extension (TC29)
         self.acas_ra: Optional[dict] = None  # extension (DF16 RA report)
+        self.bds_candidates: Optional[list] = None  # extension (Comm-B)
         self.altitude = 0
         self.geo_position: Optional[GeographicPosition] = None
         self.last_contact = now
@@ -248,6 +255,7 @@ class Aircraft:
                 and self.acas_ra["advisories"]
                 else None
             ),
+            bds_candidates=self.bds_candidates,
         )
 
 

@@ -187,6 +187,9 @@ function draw() {
       if (a.squawk != null) lines.push(`squawk   ${String(a.squawk).padStart(4, "0")}`);
       if (a.onGround) lines.push("status   on ground");
       if (a.acasRa) lines.push(`TCAS RA  ${a.acasRa}`);
+      if (a.bdsCandidates && a.bdsCandidates.length > 1) {
+        lines.push(`BDS?     ${a.bdsCandidates.join("/")} (ambiguous)`);
+      }
       const pw = 210 * devicePixelRatio;
       ctx.fillStyle = "rgba(16,26,56,0.95)";
       ctx.fillRect(x + 22, y - 10, pw, 14 + 16 * lines.length);

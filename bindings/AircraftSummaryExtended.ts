@@ -17,4 +17,10 @@ export interface AircraftSummaryExtended {
   onGround: boolean;
   /** Active TCAS resolution-advisory clauses, comma-joined (DF16 BDS 3,0). */
   acasRa: string | null;
+  /**
+   * Comm-B BDS registers the last DF20/21 MB field validated as
+   * (e.g. ["5,0"] or the ambiguous ["5,0", "6,0"]). Length > 1 means the
+   * register inference was ambiguous and derived fields are uncertain.
+   */
+  bdsCandidates: string[] | null;
 }

@@ -250,3 +250,46 @@ def test_bds30_updates_tracker_ra():
     assert a.acas_ra and a.acas_ra["threat_icao"] == 0xABC123
     # A structural 3,0 match must not leak a coincidental 5,0/6,0 reading.
     assert a.ground_speed_kt is None and a.vertical_rate_fpm is None
+
+
+def test_ambiguous_bds_surfaced_as_candidates():
+    """A crafted MB validating as BOTH 5,0 and 6,0 (the classic Comm-B
+    ambiguity) must surface in the tracker/WS schema as bdsCandidates
+    instead of being silently picked (VERDICT r1 item 8)."""
+    mb = bytes.fromhex("e21b371b29fc99")  # brute-forced ambiguous vector
+    d = commb.infer_bds(mb)
+    assert {"5,0", "6,0"} <= set(d)
+    pkt = SurveillanceReply(
+        df=20, icao=ICAO, flight_status=0, altitude_ft=35000, squawk=None,
+        time_processed=99.0, bds=d,
+    )
+    aircrafts = {}
+    handle_extended_update(pkt, aircrafts)
+    a = aircrafts[ICAO]
+    assert a.bds_candidates == sorted(d)
+    assert len(a.bds_candidates) > 1
+    # The ambiguous velocity/heading readings were NOT applied...
+    assert a.ground_speed_kt is None and a.vertical_rate_fpm is None
+    # ...and the extended WS schema carries the ambiguity.
+    summary = a.get_summary().to_json(extended=True)
+    assert summary["bdsCandidates"] == sorted(d)
+    # Parity-mode schema stays reference-exact (no extension keys).
+    assert "bdsCandidates" not in a.get_summary().to_json(extended=False)
+
+
+def test_unambiguous_bds_candidates_single_entry():
+    mb = _pack_fields(
+        (1, 1), (0, 10), (1, 1), (512, 11), (1, 1), (220, 10),
+        (1, 1), (0, 10), (1, 1), (225, 10),
+    )
+    d = commb.infer_bds(mb)
+    pkt = SurveillanceReply(
+        df=20, icao=ICAO, flight_status=0, altitude_ft=None, squawk=None,
+        time_processed=1.0, bds=d,
+    )
+    aircrafts = {}
+    handle_extended_update(pkt, aircrafts)
+    a = aircrafts[ICAO]
+    if a.bds_candidates == ["5,0"]:
+        # Unambiguous 5,0: the velocity reading IS applied.
+        assert a.ground_speed_kt == 440.0
