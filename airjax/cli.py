@@ -67,11 +67,14 @@ def _cmd_receive(args) -> int:
 
     data = []
     start = time.time()
-    for block in source.blocks():  # pragma: no cover - needs hardware
+    for block in source.blocks():
         data.append(block)
         if time.time() - start >= args.period:
             break
-    save_c16(np.concatenate(data), name)
+    source.close()
+    all_data = np.concatenate(data)
+    save_c16(all_data, name)
+    print(f"saved {len(all_data)} samples to {name}")
     return 0
 
 
@@ -115,6 +118,11 @@ def _cmd_adsb(args) -> int:
                 file=sys.stderr,
             )
             return 1
+
+    if args.max_blocks is not None:
+        import itertools
+
+        source = itertools.islice(iter(source), args.max_blocks)
 
     overlap = not args.no_overlap
     ref_position = None
@@ -240,6 +248,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     adsb.add_argument("-p", "--playback", default=None, help=".c16 capture to replay")
     adsb.add_argument("--synthetic", type=int, default=None, metavar="N")
+    adsb.add_argument(
+        "--max-blocks", type=int, default=None, metavar="N",
+        help="stop after N source blocks (bounds live SDR runs; extension)",
+    )
     adsb.add_argument("--no-overlap", action="store_true")
     adsb.add_argument("--fast", action="store_true")
     adsb.add_argument("--port", type=int, default=8080)

@@ -5,17 +5,19 @@ via Rust FFI. Here the same path binds through SoapySDR's C API with
 ctypes: enumeration, device setup (gain element "TUNER", frequency, sample
 rate — the reference's constants), and CS16 streaming in MTU-sized blocks.
 
-This environment has no SDR hardware or SoapySDR install, so every entry
-point degrades to a clear `SdrUnavailable` error; the code path is written
-against the stable SoapySDR 0.8 C ABI and is exercised for real only on a
-machine with the library + an RTL-SDR present. The playback (`.c16`) and
-synthetic sources cover everything else.
+Without a SoapySDR install every entry point degrades to a clear
+`SdrUnavailable` error. The FFI itself (every argtype/restype below) is
+executed under pytest against a fake SoapySDR 0.8 C-ABI double
+(native/fake_soapysdr.c, loaded via the AIRJAX_SOAPY_LIB override), which
+streams deterministic CS16 from a .c16 file — see tests/test_sdr_fake.py.
+Real hardware additionally needs an RTL-SDR driver plugin.
 """
 
 from __future__ import annotations
 
 import ctypes
 import ctypes.util
+import os
 from typing import Iterator, Optional
 
 import numpy as np
@@ -30,7 +32,10 @@ class SdrUnavailable(RuntimeError):
 
 
 def _load_soapy() -> Optional[ctypes.CDLL]:
-    path = ctypes.util.find_library("SoapySDR")
+    # AIRJAX_SOAPY_LIB overrides discovery — used by tests to load the
+    # fake ABI double (native/fake_soapysdr.c) and by users with a
+    # SoapySDR outside the linker path.
+    path = os.environ.get("AIRJAX_SOAPY_LIB") or ctypes.util.find_library("SoapySDR")
     if path is None:
         return None
     try:
@@ -144,7 +149,7 @@ class SdrSource:
         self._mtu = lib.SoapySDRDevice_getStreamMTU(self._dev, self._stream) or 65536
         lib.SoapySDRDevice_activateStream(self._dev, self._stream, 0, 0, 0)
 
-    def blocks(self) -> Iterator[np.ndarray]:  # pragma: no cover - hardware
+    def blocks(self) -> Iterator[np.ndarray]:
         buf = np.empty((self._mtu, 2), dtype=np.int16)
         ptrs = (ctypes.c_void_p * 1)(buf.ctypes.data)
         flags = ctypes.c_int(0)
@@ -163,7 +168,7 @@ class SdrSource:
                 continue  # timeouts/overflows skipped, like the reference
             yield buf[:n].copy()
 
-    def close(self) -> None:  # pragma: no cover - hardware
+    def close(self) -> None:
         if getattr(self, "_stream", None):
             self._lib.SoapySDRDevice_deactivateStream(self._dev, self._stream, 0, 0)
             self._lib.SoapySDRDevice_closeStream(self._dev, self._stream)
