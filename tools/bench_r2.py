@@ -1,0 +1,394 @@
+"""Round-2 perf campaign: per-stage roofline table + within-run variant A/B.
+
+Stage prefixes (cumulative, two-point slope like bench.py) give the
+bytes-moved roofline table VERDICT r1 asked for; the full-pipeline variants
+then attack the top consumer. All timings happen in ONE process on one
+device session so comparisons are within-run (cross-run tunnel variance is
+up to 3x — CLAUDE.md).
+
+Variants:
+  base         — current production decode_mags_block
+  ilv          — interleaved sublane bit-pack: cmp reshaped (R, 32, 128) and
+                 summed over the 32-sublane axis (the current pack's
+                 (N/32, 32) lane-minor reduction uses 32 of 128 lanes and
+                 relayouts; this one reduces along sublanes at full lane
+                 width), with a matching (K, 112) word-gather slicer
+  dense        — no pack at all: cmp materialized as a u8 plane, slicing is
+                 a (K, 112) byte gather
+
+Run: python tools/bench_r2.py [--r-big 12] [--stages] [--variants base,ilv,dense]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from airjax.dsp.demod import (
+    DATA_OFFSET,
+    FRAME_BITS,
+    WINDOW,
+    detect,
+    pack_cmp_words,
+    slice_bits_packed,
+)
+from airjax.dsp.magnitude import magnitude_u32
+from airjax.pipeline import compact_mask
+from airjax.protocol.crc import bits_to_bytes, crc_check_and_recover
+from tools.bench_fused import BLOCK, CAPACITY, build_iq, make_step, timed
+
+HBM_GBPS = 819.0  # v5e HBM bandwidth (public spec: 819 GB/s)
+
+
+# --------------------------------------------------------------------------
+# Variant: interleaved sublane pack
+# --------------------------------------------------------------------------
+
+PACK_BLOCK = 32 * 128  # one (32, 128) tile packs 4096 cmp bits
+
+
+def pack_cmp_words_ilv(mags: jnp.ndarray) -> jnp.ndarray:
+    """cmp bit p lands in flat word (p >> 12) * 128 + (p & 127), bit
+    position (p >> 7) & 31 (MSB first). The (R, 32, 128) reshape is
+    contiguous and the 32-deep reduction runs along sublanes at full lane
+    width."""
+    cmp = (mags[:-1] > mags[1:]).astype(jnp.uint32)
+    n = cmp.shape[0]
+    n_blk = -(-n // PACK_BLOCK)
+    padded = jnp.pad(cmp, (0, n_blk * PACK_BLOCK - n)).reshape(n_blk, 32, 128)
+    weights = (jnp.uint32(1) << jnp.arange(31, -1, -1, dtype=jnp.uint32))[
+        None, :, None
+    ]
+    words = jnp.sum(padded * weights, axis=1, dtype=jnp.uint32)  # (n_blk, 128)
+    return words.reshape(-1)
+
+
+def slice_bits_ilv(words: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
+    d0 = (offsets + DATA_OFFSET).astype(jnp.int32)
+    t = jnp.arange(FRAME_BITS, dtype=jnp.int32)
+    p = d0[:, None] + 2 * t[None, :]  # (K, 112)
+    widx = ((p >> 12) << 7) + (p & 127)
+    shift = (31 - ((p >> 7) & 31)).astype(jnp.uint32)
+    return ((words[widx] >> shift) & 1).astype(jnp.uint8)
+
+
+# --------------------------------------------------------------------------
+# Variant: dense u8 cmp plane (no pack)
+# --------------------------------------------------------------------------
+
+
+def slice_bits_dense(cmp8: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
+    d0 = (offsets + DATA_OFFSET).astype(jnp.int32)
+    t = jnp.arange(FRAME_BITS, dtype=jnp.int32)
+    return cmp8[d0[:, None] + 2 * t[None, :]]
+
+
+# --------------------------------------------------------------------------
+# Pipeline bodies
+# --------------------------------------------------------------------------
+
+
+def body_base(iq, n_off, capacity):
+    mags = magnitude_u32(iq)
+    det = detect(mags, n_off)
+    offsets, n_det = compact_mask(det, capacity)
+    valid = offsets < n_off
+    words = pack_cmp_words(mags)
+    bits = slice_bits_packed(words, jnp.where(valid, offsets, 0))
+    bits, crc_ok, recovered = crc_check_and_recover(bits)
+    good = crc_ok & valid
+    return jnp.sum(good, dtype=jnp.int32), n_det
+
+
+def body_ilv(iq, n_off, capacity):
+    mags = magnitude_u32(iq)
+    det = detect(mags, n_off)
+    offsets, n_det = compact_mask(det, capacity)
+    valid = offsets < n_off
+    words = pack_cmp_words_ilv(mags)
+    bits = slice_bits_ilv(words, jnp.where(valid, offsets, 0))
+    bits, crc_ok, recovered = crc_check_and_recover(bits)
+    good = crc_ok & valid
+    return jnp.sum(good, dtype=jnp.int32), n_det
+
+
+def body_dense(iq, n_off, capacity):
+    mags = magnitude_u32(iq)
+    det = detect(mags, n_off)
+    offsets, n_det = compact_mask(det, capacity)
+    valid = offsets < n_off
+    cmp8 = (mags[:-1] > mags[1:]).astype(jnp.uint8)
+    bits = slice_bits_dense(cmp8, jnp.where(valid, offsets, 0))
+    bits, crc_ok, recovered = crc_check_and_recover(bits)
+    good = crc_ok & valid
+    return jnp.sum(good, dtype=jnp.int32), n_det
+
+
+def pack_cmp_words_mxu(mags: jnp.ndarray) -> jnp.ndarray:
+    """Bit-pack via one MXU matmul, emitting the SAME flat word layout as
+    pack_cmp_words (so slice_bits_packed is unchanged).
+
+    Row r of the (N/128, 128) cmp matrix packs into 4 words; a (128, 8)
+    weight matrix produces each word's hi/lo 16-bit halves as exact f32
+    sums (<= 65535 < 2^24), recombined with integer shifts. The reduction
+    runs on the MXU at full lane width instead of the VPU's lane-minor
+    (N/32, 32) reduce."""
+    cmp = (mags[:-1] > mags[1:]).astype(jnp.float32)
+    n = cmp.shape[0]
+    n_rows = -(-n // 128)
+    padded = jnp.pad(cmp, (0, n_rows * 128 - n)).reshape(n_rows, 128)
+    w = np.zeros((128, 8), np.float32)
+    for j in range(4):
+        for i in range(32):
+            if i < 16:
+                w[32 * j + i, 2 * j] = float(1 << (15 - i))
+            else:
+                w[32 * j + i, 2 * j + 1] = float(1 << (31 - i))
+    out = jnp.dot(padded, jnp.asarray(w), preferred_element_type=jnp.float32)
+    hi = out[:, 0::2].astype(jnp.uint32)
+    lo = out[:, 1::2].astype(jnp.uint32)
+    words = ((hi << 16) | lo).reshape(-1)
+    return jnp.pad(words, (0, 8))  # _WORDS_PER_CAND guard words
+
+
+def body_mxp(iq, n_off, capacity):
+    mags = magnitude_u32(iq)
+    det = detect(mags, n_off)
+    offsets, n_det = compact_mask(det, capacity)
+    valid = offsets < n_off
+    words = pack_cmp_words_mxu(mags)
+    bits = slice_bits_packed(words, jnp.where(valid, offsets, 0))
+    bits, crc_ok, recovered = crc_check_and_recover(bits)
+    good = crc_ok & valid
+    return jnp.sum(good, dtype=jnp.int32), n_det
+
+
+def body_u16_mxp(iq, n_off, capacity):
+    mags = magnitude_u16(iq)
+    det = detect(mags, n_off)
+    offsets, n_det = compact_mask(det, capacity)
+    valid = offsets < n_off
+    words = pack_cmp_words_mxu(mags)
+    bits = slice_bits_packed(words, jnp.where(valid, offsets, 0))
+    bits, crc_ok, recovered = crc_check_and_recover(bits)
+    good = crc_ok & valid
+    return jnp.sum(good, dtype=jnp.int32), n_det
+
+
+def magnitude_u16(iq: jnp.ndarray) -> jnp.ndarray:
+    """Exact magnitudes stored u16: max |IQ| = isqrt(2^31) = 46341 < 2^16,
+    so narrowing is lossless and halves every magnitude-stream HBM pass
+    (write + two reads). Comparisons on u16 are identical to u32."""
+    return magnitude_u32(iq).astype(jnp.uint16)
+
+
+def body_u16(iq, n_off, capacity):
+    mags = magnitude_u16(iq)
+    det = detect(mags, n_off)
+    offsets, n_det = compact_mask(det, capacity)
+    valid = offsets < n_off
+    words = pack_cmp_words(mags)
+    bits = slice_bits_packed(words, jnp.where(valid, offsets, 0))
+    bits, crc_ok, recovered = crc_check_and_recover(bits)
+    good = crc_ok & valid
+    return jnp.sum(good, dtype=jnp.int32), n_det
+
+
+def body_u16_dense(iq, n_off, capacity):
+    mags = magnitude_u16(iq)
+    det = detect(mags, n_off)
+    offsets, n_det = compact_mask(det, capacity)
+    valid = offsets < n_off
+    cmp8 = (mags[:-1] > mags[1:]).astype(jnp.uint8)
+    bits = slice_bits_dense(cmp8, jnp.where(valid, offsets, 0))
+    bits, crc_ok, recovered = crc_check_and_recover(bits)
+    good = crc_ok & valid
+    return jnp.sum(good, dtype=jnp.int32), n_det
+
+
+def body_u16_ilv(iq, n_off, capacity):
+    mags = magnitude_u16(iq)
+    det = detect(mags, n_off)
+    offsets, n_det = compact_mask(det, capacity)
+    valid = offsets < n_off
+    words = pack_cmp_words_ilv(mags)
+    bits = slice_bits_ilv(words, jnp.where(valid, offsets, 0))
+    bits, crc_ok, recovered = crc_check_and_recover(bits)
+    good = crc_ok & valid
+    return jnp.sum(good, dtype=jnp.int32), n_det
+
+
+VARIANTS = {
+    "base": body_base,
+    "ilv": body_ilv,
+    "dense": body_dense,
+    "u16": body_u16,
+    "u16dense": body_u16_dense,
+    "u16ilv": body_u16_ilv,
+    "mxp": body_mxp,
+    "u16mxp": body_u16_mxp,
+}
+
+
+# --------------------------------------------------------------------------
+# Stage prefixes for the roofline table
+# --------------------------------------------------------------------------
+
+
+def stage_mag(iq, n_off, capacity):
+    s = jnp.sum(magnitude_u32(iq), dtype=jnp.uint32).astype(jnp.int32)
+    return s, s
+
+
+def stage_detect(iq, n_off, capacity):
+    det = detect(magnitude_u32(iq), n_off)
+    s = jnp.sum(det, dtype=jnp.int32)
+    return s, s
+
+
+def stage_compact(iq, n_off, capacity):
+    det = detect(magnitude_u32(iq), n_off)
+    offsets, n_det = compact_mask(det, capacity)
+    return jnp.sum(offsets, dtype=jnp.int32), n_det
+
+
+def stage_pack(iq, n_off, capacity):
+    mags = magnitude_u32(iq)
+    det = detect(mags, n_off)
+    offsets, n_det = compact_mask(det, capacity)
+    words = pack_cmp_words(mags)
+    return (
+        jnp.sum(words[:8].astype(jnp.int32)) + jnp.sum(offsets, dtype=jnp.int32),
+        n_det,
+    )
+
+
+# Rough minimum stream traffic per pass at BLOCK samples (bytes), assuming
+# mags materialize once (they have two stream consumers) and the compaction
+# reads the det mask once. Sparse candidate gathers (K * ~1 KB) are noise.
+def stage_bytes(n: int) -> dict[str, float]:
+    iq_r, mag_w = 4 * n, 4 * n
+    mag_r, det_w = 4 * n, 1 * n
+    det_r = 1 * n
+    pack_r, pack_w = 4 * n, n / 8
+    return {
+        "mag": iq_r + mag_w,
+        "detect": iq_r + mag_w + mag_r + det_w,
+        "compact": iq_r + mag_w + mag_r + det_w + det_r,
+        "pack": iq_r + mag_w + 2 * mag_r + det_w + det_r + pack_w,
+        "full": iq_r + mag_w + 2 * mag_r + det_w + det_r + pack_w,
+    }
+
+
+def make_timer(name, body, iq, n_off, r_small, r_big):
+    """Compile once; return a closure measuring one slope point."""
+    step = make_step(body, n_off, CAPACITY)
+    t0 = time.perf_counter()
+    g, d = (int(x) for x in step(iq, r_small))
+    compile_s = time.perf_counter() - t0
+
+    def measure():
+        t_small, _ = timed(step, iq, r_small)
+        t_big, (gs, ds) = timed(step, iq, r_big)
+        per_pass = (t_big - t_small) / (r_big - r_small)
+        return per_pass, gs // r_big
+
+    return measure, compile_s
+
+
+def run_one(name, body, iq, n_off, r_small, r_big):
+    measure, compile_s = make_timer(name, body, iq, n_off, r_small, r_big)
+    per_pass, good = measure()
+    return {
+        "name": name,
+        "seconds_per_pass": round(per_pass, 6),
+        "msps": round(n_off / per_pass / 1e6, 1),
+        "good_per_pass": good,
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--r-small", type=int, default=2)
+    ap.add_argument("--r-big", type=int, default=12)
+    ap.add_argument("--stages", action="store_true")
+    ap.add_argument("--variants", default="base,ilv,dense")
+    ap.add_argument("--platform", default=None, help="e.g. cpu (default: session)")
+    ap.add_argument("--repeat", type=int, default=3)
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    n_off = BLOCK - WINDOW
+    iq = build_iq()
+    print(f"device: {jax.devices()[0]}, block={BLOCK}", flush=True)
+
+    if args.stages:
+        sb = stage_bytes(BLOCK)
+        for name, body in [
+            ("mag", stage_mag),
+            ("detect", stage_detect),
+            ("compact", stage_compact),
+            ("pack", stage_pack),
+            ("full", body_base),
+        ]:
+            r = run_one(name, body, iq, n_off, args.r_small, args.r_big)
+            roof_s = sb[name] / (HBM_GBPS * 1e9)
+            r["min_bytes_mb"] = round(sb[name] / 1e6, 1)
+            r["roofline_s"] = round(roof_s, 6)
+            r["x_roofline"] = round(r["seconds_per_pass"] / roof_s, 2)
+            print(json.dumps(r), flush=True)
+
+    # Compile every variant up front, then time them INTERLEAVED (ABAB...)
+    # --repeat times each: cross-minute drift on the tunnel then hits all
+    # variants equally, and per-variant best/median expose the spread.
+    names = [v for v in args.variants.split(",") if v]
+    timers = {}
+    for name in names:
+        timers[name], c = make_timer(
+            name, VARIANTS[name], iq, n_off, args.r_small, args.r_big
+        )
+        print(f"compiled {name} in {c:.1f}s", flush=True)
+    samples = {name: [] for name in names}
+    for rep in range(args.repeat):
+        for name in names:
+            per_pass, good = timers[name]()
+            samples[name].append(per_pass)
+            print(
+                json.dumps(
+                    {
+                        "name": name,
+                        "rep": rep,
+                        "seconds_per_pass": round(per_pass, 6),
+                        "msps": round(n_off / per_pass / 1e6, 1),
+                        "good_per_pass": good,
+                    }
+                ),
+                flush=True,
+            )
+    for name in names:
+        s = sorted(samples[name])
+        best, median = s[0], s[len(s) // 2]
+        print(
+            json.dumps(
+                {
+                    "name": name,
+                    "best_s": round(best, 6),
+                    "median_s": round(median, 6),
+                    "best_msps": round(n_off / best / 1e6, 1),
+                    "median_msps": round(n_off / median / 1e6, 1),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
