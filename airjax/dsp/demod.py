@@ -214,11 +214,56 @@ def pack_cmp_words(mags: jnp.ndarray) -> jnp.ndarray:
     """Precompute ALL pair-compare bits packed 32/word (MSB first).
 
     cmp[i] = mags[i] > mags[i+1] is computed once for every sample in one
-    vectorized pass and bit-packed via a contiguous reshape (stride-2
-    parity splits are pathological relayouts on TPU — ~64 ms for 16M
-    elements — so the data bits stay interleaved and the extractor reads
-    every other bit instead). Padded with _WORDS_PER_CAND zero words.
+    vectorized pass and bit-packed via one MXU matmul: row r of the
+    (N/128, 128) cmp matrix packs into 4 words through a (128, 8) weight
+    matrix producing each word's hi/lo 16-bit halves as exact f32 sums
+    (integers <= 65535 < 2^24, so f32 accumulation is exact on any
+    backend), recombined with integer shifts. Same flat word layout as the
+    original (N/32, 32)-reshape VPU reduction (kept below as
+    pack_cmp_words_reduce), ~2x faster on the v5e — the lane-minor reduce
+    used 32 of 128 lanes and relayouted (tools/bench_r2.py round-2 A/B).
+    Padded with _WORDS_PER_CAND zero words.
+
+    The cmp bits stay interleaved (data bits extracted as every other bit
+    downstream): stride-2 parity splits are pathological relayouts on TPU
+    (~64 ms for 16M elements).
     """
+    cmp = (mags[:-1] > mags[1:]).astype(jnp.float32)
+    n = cmp.shape[0]
+    n_rows = -(-n // 128)
+    padded = jnp.pad(cmp, (0, n_rows * 128 - n)).reshape(n_rows, 128)
+    out = jnp.dot(
+        padded, jnp.asarray(_PACK_WEIGHTS), preferred_element_type=jnp.float32
+    )
+    hi = out[:, 0::2].astype(jnp.uint32)
+    lo = out[:, 1::2].astype(jnp.uint32)
+    words = ((hi << 16) | lo).reshape(-1)
+    return jnp.pad(words, (0, _WORDS_PER_CAND))
+
+
+def _pack_weights():
+    """(128, 8) f32 numpy constant (NOT a jnp array: materializing on a
+    device at import time would lock the backend before callers can
+    config-switch platforms)."""
+    import numpy as np
+
+    w = np.zeros((128, 8), np.float32)
+    for j in range(4):
+        for i in range(32):
+            if i < 16:
+                w[32 * j + i, 2 * j] = float(1 << (15 - i))
+            else:
+                w[32 * j + i, 2 * j + 1] = float(1 << (31 - i))
+    return w
+
+
+_PACK_WEIGHTS = _pack_weights()
+
+
+def pack_cmp_words_reduce(mags: jnp.ndarray) -> jnp.ndarray:
+    """Original VPU formulation of pack_cmp_words ((N/32, 32) x weights
+    reduction) — kept as a correctness cross-check and for backends where
+    a matmul is awkward; bit-identical output."""
     cmp = (mags[:-1] > mags[1:]).astype(jnp.uint32)
     n = cmp.shape[0]
     n_words = -(-n // 32)

@@ -47,3 +47,17 @@ def isqrt_u32(s: jnp.ndarray) -> jnp.ndarray:
 def magnitude_u32(iq: jnp.ndarray) -> jnp.ndarray:
     """(..., 2) int16 I/Q -> (...) uint32 magnitudes, bit-exact vs reference."""
     return isqrt_u32(squared_magnitude_u32(iq))
+
+
+def magnitude_u16(iq: jnp.ndarray) -> jnp.ndarray:
+    """(..., 2) int16 I/Q -> (...) uint16 magnitudes, bit-exact vs reference.
+
+    The maximum magnitude is isqrt(2 * 32768^2) = 46341 < 2^16, so
+    narrowing to u16 is lossless and every unsigned comparison downstream
+    (the detector's >= stencil and the PPM pair compares) is identical to
+    the u32 form — while halving the HBM bytes of the magnitude write and
+    of both stream-sized reads (detect + pack), the pipeline's dominant
+    traffic (tools/bench_r2.py round-2 A/B: +13% end-to-end within-run).
+    The cast fuses into the isqrt pass; nothing u32 is ever materialized.
+    """
+    return isqrt_u32(squared_magnitude_u32(iq)).astype(jnp.uint16)

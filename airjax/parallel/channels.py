@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from airjax.dsp.demod import WINDOW
-from airjax.dsp.magnitude import magnitude_u32
+from airjax.dsp.magnitude import magnitude_u16
 from airjax.pipeline import decode_mags_block
 
 CHANNEL_AXIS = "c"
@@ -40,7 +40,7 @@ def build_channel_decoder(
     def local_step(iq_local: jnp.ndarray):
         # iq_local: (n_channels/n_dev, block_len + halo, 2)
         def one(iq):
-            return decode_mags_block(magnitude_u32(iq), block_len, capacity)
+            return decode_mags_block(magnitude_u16(iq), block_len, capacity)
 
         return jax.lax.map(one, iq_local)  # sequential over local channels
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from airjax.dsp.demod import WINDOW
-from airjax.dsp.magnitude import magnitude_u32
+from airjax.dsp.magnitude import magnitude_u16
 from airjax.parallel.mesh import TIME_AXIS
 from airjax.pipeline import decode_mags_block
 
@@ -60,7 +60,7 @@ def build_sharded_decoder(
 
     def local_step(iq_local: jnp.ndarray) -> dict[str, jnp.ndarray]:
         # iq_local: (block, 2) int16 on each device
-        mags = magnitude_u32(iq_local)  # (block,)
+        mags = magnitude_u16(iq_local)  # (block,)
         halo = jax.lax.ppermute(mags[:HALO], axis, perm)  # right nbr's head
         ext = jnp.concatenate([mags, halo])  # (block + 239,)
         res = decode_mags_block(ext, block, capacity_per_shard)

@@ -40,7 +40,7 @@ from airjax.dsp.demod import (
     slice_bits,
     slice_bits_packed,
 )
-from airjax.dsp.magnitude import magnitude_u32
+from airjax.dsp.magnitude import magnitude_u16
 from airjax.protocol.crc import bits_to_bytes, crc_check_and_recover
 from airjax.protocol.packet import AdsbPacket
 
@@ -62,7 +62,8 @@ def decode_mags_block(
     """Scan one magnitude block: detection, slicing, CRC, recovery.
 
     Args:
-      mags: (L,) uint32, L >= n_off + WINDOW - 1.
+      mags: (L,) unsigned magnitudes (u16 from magnitude_u16 in production —
+        lossless, see airjax.dsp.magnitude), L >= n_off + WINDOW - 1.
       n_off: number of window offsets to scan (static).
       capacity: fixed candidate capacity (static).
     """
@@ -91,7 +92,7 @@ def decode_iq_block(
     iq: jnp.ndarray, n_off: int, capacity: int
 ) -> dict[str, jnp.ndarray]:
     """(L, 2) int16 IQ -> candidate dict (single block, jitted)."""
-    return decode_mags_block(magnitude_u32(iq), n_off, capacity)
+    return decode_mags_block(magnitude_u16(iq), n_off, capacity)
 
 
 @functools.partial(jax.jit, static_argnames=("n_off", "capacity", "interpret"))
@@ -215,7 +216,7 @@ def decode_mags_block_extended(
 def decode_iq_block_extended(
     iq: jnp.ndarray, n_off: int, capacity: int
 ) -> dict[str, jnp.ndarray]:
-    return decode_mags_block_extended(magnitude_u32(iq), n_off, capacity)
+    return decode_mags_block_extended(magnitude_u16(iq), n_off, capacity)
 
 
 @functools.partial(jax.jit, static_argnames=("n_off", "capacity"))
@@ -224,7 +225,7 @@ def decode_iq_chunks(
 ) -> dict[str, jnp.ndarray]:
     """(B, L, 2) int16 IQ chunk batch -> batched candidate dict (vmapped)."""
     return jax.vmap(
-        lambda iq: decode_mags_block(magnitude_u32(iq), n_off, capacity)
+        lambda iq: decode_mags_block(magnitude_u16(iq), n_off, capacity)
     )(iq_chunks)
 
 
@@ -356,7 +357,7 @@ def _decode_block_at(iq_padded: jnp.ndarray, start, block: int, capacity: int):
     ext = jax.lax.dynamic_slice(
         iq_padded, (start, 0), (block + WINDOW - 1, 2)
     )
-    return decode_mags_block(magnitude_u32(ext), block, capacity)
+    return decode_mags_block(magnitude_u16(ext), block, capacity)
 
 
 def decode_capture_overlap(

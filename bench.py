@@ -33,7 +33,7 @@ import numpy as np
 from airjax.dsp.demod import WINDOW
 from airjax.io import synth
 from airjax.pipeline import decode_mags_block
-from airjax.dsp.magnitude import magnitude_u32
+from airjax.dsp.magnitude import magnitude_u16
 
 
 def build_workload(block_len: int, n_blocks: int, seed: int = 0):
@@ -80,7 +80,7 @@ def make_repeat_step(block_len: int, capacity: int):
             # Perturbed per pass (wrapping int16 add) so the decode is not
             # loop-invariant; the add fuses into the magnitude stage.
             perturbed = iq + r.astype(jnp.int16)
-            out = decode_mags_block(magnitude_u32(perturbed), block_len, capacity)
+            out = decode_mags_block(magnitude_u16(perturbed), block_len, capacity)
             return out["n_good"], out["n_detections"]
 
         def one_pass(r, acc):

@@ -20,6 +20,7 @@ Run: python tools/bench_r2.py [--r-big 12] [--stages] [--variants base,ilv,dense
 """
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -224,6 +225,193 @@ def body_u16_ilv(iq, n_off, capacity):
     return jnp.sum(good, dtype=jnp.int32), n_det
 
 
+# --------------------------------------------------------------------------
+# Variant: lazy DF17 — preamble-only stencil, DF17 pattern checked only at
+# the ~0.05% of offsets that pass the preamble (tiny gathers), then a
+# second small compaction down to the candidate capacity. Saves the DF17
+# half of the stencil's ALU work (10 loads + 8 min/max + cmp per offset).
+# --------------------------------------------------------------------------
+
+PRE_CAPACITY = 16384  # preamble-only hits on noise ~0.055% of offsets
+
+
+def df17_check_gather(mags: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
+    from airjax.dsp.demod import DF17_HIGHS, DF17_LOWS
+
+    h = jnp.asarray(DF17_HIGHS, dtype=jnp.int32)
+    l = jnp.asarray(DF17_LOWS, dtype=jnp.int32)
+    mh = mags[offsets[:, None] + h[None, :]]  # (K, 5)
+    ml = mags[offsets[:, None] + l[None, :]]  # (K, 5)
+    return jnp.min(mh, axis=1) >= jnp.max(ml, axis=1)
+
+
+def _body_lazy(mags, n_off, capacity):
+    from airjax.dsp.demod import detect_preamble_only
+
+    pre = detect_preamble_only(mags, n_off)
+    pre_off, n_pre = compact_mask(pre, PRE_CAPACITY)
+    pre_valid = pre_off < n_off
+    safe_pre = jnp.where(pre_valid, pre_off, 0)
+    df17 = df17_check_gather(mags, safe_pre) & pre_valid
+    n_det = jnp.sum(df17, dtype=jnp.int32)
+    # Recompact the (PRE_CAPACITY,) df17 mask down to `capacity` slots.
+    sel, _ = compact_mask(df17, capacity)
+    sel_valid = sel < PRE_CAPACITY
+    offsets = jnp.where(sel_valid, pre_off[jnp.where(sel_valid, sel, 0)], n_off)
+    valid = offsets < n_off
+    words = pack_cmp_words(mags)
+    bits = slice_bits_packed(words, jnp.where(valid, offsets, 0))
+    bits, crc_ok, recovered = crc_check_and_recover(bits)
+    good = crc_ok & valid
+    return jnp.sum(good, dtype=jnp.int32), n_det
+
+
+def body_lazy(iq, n_off, capacity):
+    return _body_lazy(magnitude_u32(iq), n_off, capacity)
+
+
+def body_u16_lazy(iq, n_off, capacity):
+    return _body_lazy(magnitude_u16(iq), n_off, capacity)
+
+
+def body_u16_lazy_mxp(iq, n_off, capacity):
+    mags = magnitude_u16(iq)
+    from airjax.dsp.demod import detect_preamble_only
+
+    pre = detect_preamble_only(mags, n_off)
+    pre_off, n_pre = compact_mask(pre, PRE_CAPACITY)
+    pre_valid = pre_off < n_off
+    safe_pre = jnp.where(pre_valid, pre_off, 0)
+    df17 = df17_check_gather(mags, safe_pre) & pre_valid
+    n_det = jnp.sum(df17, dtype=jnp.int32)
+    sel, _ = compact_mask(df17, capacity)
+    sel_valid = sel < PRE_CAPACITY
+    offsets = jnp.where(sel_valid, pre_off[jnp.where(sel_valid, sel, 0)], n_off)
+    valid = offsets < n_off
+    words = pack_cmp_words_mxu(mags)
+    bits = slice_bits_packed(words, jnp.where(valid, offsets, 0))
+    bits, crc_ok, recovered = crc_check_and_recover(bits)
+    good = crc_ok & valid
+    return jnp.sum(good, dtype=jnp.int32), n_det
+
+
+# --------------------------------------------------------------------------
+# Transposed-layout exploration: positions along sublanes so every stencil
+# shift is a lane-aligned row slice. Pseudo-stage bodies measure the pieces.
+# --------------------------------------------------------------------------
+
+
+def _iq_words(iq):
+    return jax.lax.bitcast_convert_type(iq, jnp.int32).reshape(-1)
+
+
+def _mag_from_words_xla(w):
+    re = jnp.right_shift(jnp.left_shift(w, 16), 16).astype(jnp.int32)
+    im = jnp.right_shift(w, 16).astype(jnp.int32)
+    s = (re * re).astype(jnp.uint32) + (im * im).astype(jnp.uint32)
+    k = jnp.sqrt(s.astype(jnp.float32)).astype(jnp.uint32)
+    up = k + 1
+    k = jnp.where(up * up <= s, up, k)
+    k = jnp.where((k > 0) & (k * k > s), k - 1, k)
+    return k.astype(jnp.uint16)
+
+
+def stage_flat_stencil(iq, n_off, capacity):
+    """Flat-layout twin of stage_tr_stencil: mag u16 + stencil + cmp + pack
+    (no compaction/CRC) so the transposed variant has a like-for-like rival."""
+    mags = magnitude_u16(iq)
+    det = detect(mags, n_off)
+    words = pack_cmp_words(mags)
+    s = jnp.sum(det, dtype=jnp.int32)
+    return s + jnp.sum(words[:8].astype(jnp.int32)), s
+
+
+def stage_tr_stencil(iq, n_off, capacity):
+    """Transpose + mag + ROW-shift stencil + cmp (everything lane-aligned)."""
+    w = _iq_words(iq)
+    seg = w.shape[0] // 128
+    y = w[: seg * 128].reshape(128, seg).T  # (seg, 128)
+    y = jax.lax.optimization_barrier(y)
+    mags = _mag_from_words_xla(y)  # (seg, 128) u16
+
+    def rs(s, n):  # row-shifted view
+        return jax.lax.dynamic_slice_in_dim(mags, s, n, axis=0)
+
+    n = seg - 26
+    hmin = functools.reduce(jnp.minimum, (rs(s, n) for s in (0, 2, 7, 9)))
+    lmax = functools.reduce(
+        jnp.maximum, (rs(s, n) for s in (1, 3, 4, 5, 6, 8, 10, 11, 12, 13, 14, 15))
+    )
+    dmin = functools.reduce(jnp.minimum, (rs(s, n) for s in (16, 19, 21, 23, 24)))
+    dmax = functools.reduce(jnp.maximum, (rs(s, n) for s in (17, 18, 20, 22, 25)))
+    det = (hmin >= lmax) & (dmin >= dmax)
+    cmp = mags[:-1] > mags[1:]
+    # Vertical pack of cmp: (R/32, 32, 128) contiguous row-split, sublane sum.
+    r32 = (seg - 1) // 32
+    c3 = cmp[: r32 * 32].reshape(r32, 32, 128).astype(jnp.uint32)
+    wts = (jnp.uint32(1) << jnp.arange(31, -1, -1, dtype=jnp.uint32))[None, :, None]
+    words = jnp.sum(c3 * wts, axis=1, dtype=jnp.uint32)
+    return (
+        jnp.sum(det, dtype=jnp.int32) + jnp.sum(words[:1].astype(jnp.int32)),
+        jnp.sum(det, dtype=jnp.int32),
+    )
+
+
+def stage_slice_u16(iq, n_off, capacity):
+    """Everything except CRC/recovery/frame pack: isolates the candidate
+    slicing cost from the CRC tail."""
+    mags = magnitude_u16(iq)
+    det = detect(mags, n_off)
+    offsets, n_det = compact_mask(det, capacity)
+    valid = offsets < n_off
+    words = pack_cmp_words(mags)
+    bits = slice_bits_packed(words, jnp.where(valid, offsets, 0))
+    return jnp.sum(bits.astype(jnp.int32)), n_det
+
+
+def _crc_check_and_recover_f32(bits112):
+    """crc_check_and_recover with the GF(2) matmul in f32 on the MXU
+    (sums <= 88 exact) instead of int32 on the VPU."""
+    from airjax.protocol.crc import (
+        CRC_BITS,
+        DATA_BITS,
+        crc_matrix,
+        pack_bits_msbfirst,
+        syndromes,
+    )
+
+    matrix = jnp.asarray(crc_matrix(), dtype=jnp.float32)
+    sums = jnp.dot(
+        bits112[..., :DATA_BITS].astype(jnp.float32),
+        matrix,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    calced = pack_bits_msbfirst(sums & 1, CRC_BITS)
+    packet_crc = pack_bits_msbfirst(bits112[..., DATA_BITS:], CRC_BITS)
+    delta = calced ^ packet_crc
+    ok = delta == 0
+    table = jnp.asarray(syndromes(), dtype=jnp.uint32)
+    match = delta[..., None] == table
+    found = jnp.any(match, axis=-1) & ~ok
+    flip = jnp.pad(match, [(0, 0)] * (match.ndim - 1) + [(0, CRC_BITS)])
+    corrected = jnp.where(
+        found[..., None], bits112 ^ flip.astype(bits112.dtype), bits112
+    )
+    return corrected, ok | found, found
+
+
+def body_u16_crcf32(iq, n_off, capacity):
+    mags = magnitude_u16(iq)
+    det = detect(mags, n_off)
+    offsets, n_det = compact_mask(det, capacity)
+    valid = offsets < n_off
+    words = pack_cmp_words(mags)
+    bits = slice_bits_packed(words, jnp.where(valid, offsets, 0))
+    bits, crc_ok, recovered = _crc_check_and_recover_f32(bits)
+    good = crc_ok & valid
+    return jnp.sum(good, dtype=jnp.int32), n_det
+
+
 VARIANTS = {
     "base": body_base,
     "ilv": body_ilv,
@@ -233,6 +421,13 @@ VARIANTS = {
     "u16ilv": body_u16_ilv,
     "mxp": body_mxp,
     "u16mxp": body_u16_mxp,
+    "lazy": body_lazy,
+    "u16lazy": body_u16_lazy,
+    "u16lazymxp": body_u16_lazy_mxp,
+    "flatS": stage_flat_stencil,
+    "sliceU16": stage_slice_u16,
+    "u16crcf32": body_u16_crcf32,
+    "trS": stage_tr_stencil,
 }
 
 
