@@ -412,6 +412,94 @@ def body_u16_crcf32(iq, n_off, capacity):
     return jnp.sum(good, dtype=jnp.int32), n_det
 
 
+def stage_compact_u16(iq, n_off, capacity):
+    mags = magnitude_u16(iq)
+    det = detect(mags, n_off)
+    offsets, n_det = compact_mask(det, capacity)
+    return jnp.sum(offsets, dtype=jnp.int32), n_det
+
+
+def slice_bits_packed_ds(words, offsets):
+    """slice_bits_packed with the (K, 8) word fetch as K contiguous
+    8-word dynamic slices (one gather with slice_sizes=8) instead of K*8
+    independent element lookups."""
+    from airjax.dsp.demod import _WORDS_PER_CAND
+
+    d0 = offsets + DATA_OFFSET
+    word0 = d0 >> 5
+    align = (d0 & 31).astype(jnp.uint32)
+    gathered = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(words, (i,), (_WORDS_PER_CAND,))
+    )(word0)
+    t = jnp.arange(FRAME_BITS, dtype=jnp.uint32)
+    pos = align[:, None] + 2 * t[None, :]
+    word_sel = (pos >> 5).astype(jnp.int32)
+    shift = 31 - (pos & 31)
+    sel = jnp.zeros(pos.shape, dtype=jnp.uint32)
+    for jj in range(_WORDS_PER_CAND):
+        sel = jnp.where(word_sel == jj, gathered[:, jj : jj + 1], sel)
+    return ((sel >> shift) & 1).astype(jnp.uint8)
+
+
+def stage_slice_ds(iq, n_off, capacity):
+    mags = magnitude_u16(iq)
+    det = detect(mags, n_off)
+    offsets, n_det = compact_mask(det, capacity)
+    valid = offsets < n_off
+    words = pack_cmp_words(mags)
+    bits = slice_bits_packed_ds(words, jnp.where(valid, offsets, 0))
+    return jnp.sum(bits.astype(jnp.int32)), n_det
+
+
+def body_u16_ds(iq, n_off, capacity):
+    mags = magnitude_u16(iq)
+    det = detect(mags, n_off)
+    offsets, n_det = compact_mask(det, capacity)
+    valid = offsets < n_off
+    words = pack_cmp_words(mags)
+    bits = slice_bits_packed_ds(words, jnp.where(valid, offsets, 0))
+    bits, crc_ok, recovered = crc_check_and_recover(bits)
+    good = crc_ok & valid
+    return jnp.sum(good, dtype=jnp.int32), n_det
+
+
+def _compact_tile(det, capacity, tile):
+    from airjax.dsp.demod import compact_detections
+
+    offsets, _, n_det = compact_detections(det, capacity, tile=tile)
+    return offsets, n_det
+
+
+def make_body_tile(tile):
+    def body(iq, n_off, capacity):
+        mags = magnitude_u16(iq)
+        det = detect(mags, n_off)
+        offsets, n_det = _compact_tile(det, capacity, tile)
+        valid = offsets < n_off
+        words = pack_cmp_words(mags)
+        bits = slice_bits_packed(words, jnp.where(valid, offsets, 0))
+        bits, crc_ok, recovered = crc_check_and_recover(bits)
+        good = crc_ok & valid
+        return jnp.sum(good, dtype=jnp.int32), n_det
+
+    return body
+
+
+def body_u16_barrier(iq, n_off, capacity):
+    """u16mxp + optimization_barrier after the magnitude pass: tests
+    whether XLA re-fuses the isqrt into the 26-shift stencil consumers
+    (recompute per shift) instead of materializing mags once."""
+    mags = jax.lax.optimization_barrier(magnitude_u16(iq))
+    det = detect(mags, n_off)
+    offsets, n_det = compact_mask(det, capacity)
+    valid = offsets < n_off
+    words = pack_cmp_words(mags)
+    bits = slice_bits_packed(words, jnp.where(valid, offsets, 0))
+    bits, crc_ok, recovered = crc_check_and_recover(bits)
+    good = crc_ok & valid
+    return jnp.sum(good, dtype=jnp.int32), n_det
+
+
 VARIANTS = {
     "base": body_base,
     "ilv": body_ilv,
@@ -426,6 +514,13 @@ VARIANTS = {
     "u16lazymxp": body_u16_lazy_mxp,
     "flatS": stage_flat_stencil,
     "sliceU16": stage_slice_u16,
+    "compactU16": stage_compact_u16,
+    "sliceDS": stage_slice_ds,
+    "u16ds": body_u16_ds,
+    "tile128": make_body_tile(128),
+    "tile256": make_body_tile(256),
+    "tile1024": make_body_tile(1024),
+    "u16bar": body_u16_barrier,
     "u16crcf32": body_u16_crcf32,
     "trS": stage_tr_stencil,
 }
