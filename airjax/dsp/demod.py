@@ -165,12 +165,21 @@ def threshold_slice_bits(
       high: (K,) or scalar u32 — per-candidate detector high values.
     Returns (bits (K, 112) uint8, ok (K,) bool).
     """
-    # f32 derate (jax x64 is off); the reference derates in f64 — for this
-    # dead-in-the-reference variant the one-ulp truncation differences are
-    # acceptable and documented.
-    threshold = (
-        jnp.broadcast_to(high, offsets.shape).astype(jnp.float32) * derate
-    ).astype(jnp.uint32)
+    # Exact derate in u32: for every magnitude-range input x <= 46340*0.9,
+    # trunc(f64(x) * 0.9_f64) == trunc(f32(x) * 0.9_f32) == x * 9 // 10.
+    # Proof sketch: x*9/10 has fractional part in {0, .1, ..., .9}; the
+    # float product's total error (|0.9_fXX - 0.9| * x + rounding, < 3e-3
+    # for f32, < 5e-12 for f64) is far below the 0.1 gap to the next
+    # integer, and at exact multiples of 10 the product rounds back onto
+    # the integer because the representation error is under half an ulp.
+    # So the reference's f64 derate (demod.rs:66) is reproduced exactly
+    # without x64 mode. Non-tenth derates fall back to f32.
+    high_b = jnp.broadcast_to(high, offsets.shape).astype(jnp.uint32)
+    num = derate * 10.0
+    if num == int(num):
+        threshold = (high_b * jnp.uint32(int(num))) // jnp.uint32(10)
+    else:  # pragma: no cover - no such derate in the reference
+        threshold = (high_b.astype(jnp.float32) * derate).astype(jnp.uint32)
 
     def one(offset, thr):
         window = jax.lax.dynamic_slice(

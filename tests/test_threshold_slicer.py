@@ -53,3 +53,29 @@ def test_threshold_two_errors_tolerated():
     assert bool(ok[0])
     # invalid pairs decode as bit 0
     assert int(bits[0][0]) == 0 and int(bits[0][1]) == 0
+
+
+def test_derate_exactly_matches_f64_reference():
+    """The u32 x*9//10 derate must equal the reference's f64 (and the
+    detector's f32) truncation for EVERY value in the magnitude range."""
+    import numpy as np
+
+    x = np.arange(0, 46341, dtype=np.uint64)
+    f64 = (x.astype(np.float64) * np.float64(0.9)).astype(np.uint64)
+    f32 = (x.astype(np.float32) * np.float32(0.9)).astype(np.uint64)
+    exact = x * 9 // 10
+    np.testing.assert_array_equal(f64, exact)
+    np.testing.assert_array_equal(f32, exact)
+
+
+def test_derate_applied_in_slicer():
+    mags = np.zeros(300, dtype=np.uint32)
+    buf = _buf_valid()
+    mags[16:240] = buf
+    # high=112, derate 0.9 -> threshold 100 (112*9//10): same decode as
+    # the direct high=100 call.
+    bits, ok = threshold_slice_bits(
+        jnp.asarray(mags), jnp.asarray([0]), jnp.uint32(112), derate=0.9
+    )
+    assert bool(ok[0])
+    assert np.array_equal(np.asarray(bits[0]), np.tile([1, 0], 56))
