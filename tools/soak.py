@@ -8,6 +8,13 @@ demonstrably drops, src/adsb.rs:75-89) — so expected decodes are exactly
 countable and any boundary loss shows up as a deficit.
 
 Usage: python tools/soak.py [--seconds 60] [--block 200000]
+
+With --sdr, the stream comes from a live SdrSource instead of the
+synthetic generator — pointed at the fake SoapySDR ABI double
+(AIRJAX_SOAPY_LIB=native/libfake_soapysdr.so,
+AIRJAX_FAKE_SOAPY_C16=<capture>) this soaks the whole live path:
+ctypes FFI -> MTU blocks -> overlap-save decode. Decode count is
+checked against the known frame density of the backing capture.
 """
 
 from __future__ import annotations
@@ -50,11 +57,49 @@ def boundary_stream(block: int, stop_flag: dict, seed: int = 0):
         b += 1
 
 
+def sdr_soak(seconds: float) -> int:
+    """Soak the LIVE path: SdrSource (usually the fake SoapySDR double)
+    -> overlap-save decode. The fake cycles one 20k-sample MTU block, so
+    each delivered block carries a known frame count and the expected
+    decode total is countable (straddlers included: the capture embeds
+    frames only in the interior, so block boundaries never cut one)."""
+    from airjax import sdr
+
+    frames_seen = []
+    t0 = time.time()
+    src = sdr.SdrSource(device=0)
+
+    def timed_blocks():
+        for blk in src.blocks():
+            if time.time() - t0 > seconds:
+                return
+            yield blk
+
+    stats = run_stream(timed_blocks(), lambda pkt: frames_seen.append(pkt.icao))
+    src.close()
+    d = stats.as_dict()
+    frames_per_block = 3  # tests/test_sdr_fake.py capture layout
+    expected = d["blocks"] * frames_per_block
+    d.update(
+        mode="sdr",
+        seconds=round(time.time() - t0, 1),
+        frames_decoded=len(frames_seen),
+        frames_expected=expected,
+        boundary_loss=max(0, expected - len(frames_seen)),
+    )
+    print(json.dumps(d))
+    return 0 if d["boundary_loss"] == 0 and d["blocks"] > 0 else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--seconds", type=float, default=60.0)
     p.add_argument("--block", type=int, default=200000)
+    p.add_argument("--sdr", action="store_true", help="soak the live SdrSource path")
     args = p.parse_args(argv)
+
+    if args.sdr:
+        return sdr_soak(args.seconds)
 
     stop = {}
     frames_seen = []
