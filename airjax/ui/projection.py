@@ -62,3 +62,23 @@ def get_xy(
     dx = distance * math.sin(bearing)
     dy = -distance * math.cos(bearing)
     return (center_x + dx * scale_ppm, center_y + dy * scale_ppm)
+
+
+def check_visible(
+    center_lat: float,
+    center_lon: float,
+    center_x: float,
+    center_y: float,
+    scale_ppm: float,
+    lat: float,
+    lon: float,
+) -> bool:
+    """Center.check_visible (position.ts:91-94): canvas-bounds test with
+    the center pinned at (center_x, center_y) = (width/2, height/2)."""
+    x, y = get_xy(center_lat, center_lon, center_x, center_y, scale_ppm, lat, lon)
+    return (0 < x < center_x * 2) and (0 < y < center_y * 2)
+
+
+def recenter(width: float, height: float) -> tuple[int, int]:
+    """Center.recenter (position.ts:101-104)."""
+    return (math.floor(width / 2), math.floor(height / 2))

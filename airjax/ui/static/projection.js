@@ -44,3 +44,19 @@ function getXY(centerLat, centerLon, centerX, centerY, scalePpm, lat, lon) {
   const y = centerY + dy * scalePpm;
   return [x, y];
 }
+
+// Center.check_visible (position.ts:91-94): on-canvas test against a
+// center pinned at (centerX, centerY) = (width/2, height/2).
+function checkVisible(centerLat, centerLon, centerX, centerY, scalePpm, lat, lon) {
+  const xy = getXY(centerLat, centerLon, centerX, centerY, scalePpm, lat, lon);
+  const vx = (0 < xy[0]) && (xy[0] < centerX * 2);
+  const vy = (0 < xy[1]) && (xy[1] < centerY * 2);
+  return vx && vy;
+}
+
+// Center.recenter (position.ts:101-104).
+function recenter(width, height) {
+  const x = Math.floor(width / 2);
+  const y = Math.floor(height / 2);
+  return [x, y];
+}

@@ -50,6 +50,7 @@ def transpile_js(source: str) -> str:
         stmt = stmt.rstrip(";")
         stmt = re.sub(r"\bconst ", "", stmt)
         stmt = stmt.replace("Math.PI", "math.pi").replace("Math.", "math.")
+        stmt = stmt.replace(" && ", " and ")
         out.append("    " * indent + stmt)
     assert not buf, f"unterminated statement: {buf!r}"
     return "\n".join(out)
@@ -91,6 +92,17 @@ def test_js_matches_python_mirror(js_funcs):
         xy_py = projection.get_xy(lat1, lon1, 640.0, 360.0, 0.003, lat2, lon2)
         assert xy_js[0] == pytest.approx(xy_py[0], abs=1e-9)
         assert xy_js[1] == pytest.approx(xy_py[1], abs=1e-9)
+        vis_js = js_funcs["checkVisible"](lat1, lon1, 640.0, 360.0, 0.003, lat2, lon2)
+        vis_py = projection.check_visible(lat1, lon1, 640.0, 360.0, 0.003, lat2, lon2)
+        assert bool(vis_js) == vis_py
+
+
+def test_check_visible_and_recenter():
+    # A point at the center is visible; the antipode-ish far point is not
+    # at radar scale.
+    assert projection.check_visible(-41.3, 174.8, 640, 360, 0.003, -41.29, 174.81)
+    assert not projection.check_visible(-41.3, 174.8, 640, 360, 0.003, 52.0, 4.0)
+    assert projection.recenter(1281, 721) == (640, 360)
 
 
 def test_known_answers():
