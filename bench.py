@@ -111,7 +111,9 @@ def _timed(fn, *args, iters=3):
     return best, last
 
 
-def bench(block_len=1 << 24, n_blocks=2, capacity=2048, r_small=2, r_big=22):
+def bench(block_len=1 << 24, n_blocks=2, capacity=2048, r_small=2, r_big=42):
+    # r_big=42 (was 22): the slope spans ~90 ms of device work, cutting the
+    # timing noise that round-2 A/B runs showed dominates short slopes.
     blocks, n_frames = build_workload(block_len, n_blocks)
     total_samples = block_len  # one block decoded per pass
     step = make_repeat_step(block_len, capacity)
