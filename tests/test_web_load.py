@@ -1,0 +1,135 @@
+"""Web serving robustness under concurrent WebSocket clients.
+
+The reference fans out via tokio::sync::broadcast(100) where lagging
+receivers get Lagged and every client has its own task (web.rs:62-94,
+106). Our stdlib implementation must hold the same properties: N
+concurrent clients all receive every broadcast, an abruptly-dying client
+neither crashes the server nor stalls the others, and a lagging client
+drops messages instead of blocking the pipeline sink.
+"""
+
+import base64
+import json
+import socket
+import threading
+import time
+
+import pytest
+
+from airjax.protocol.packet import AdsbPacket
+from airjax.ui.web import WebDisplay, _Broadcast
+
+
+@pytest.fixture()
+def display():
+    d = WebDisplay(port=0, quiet=True)
+    t = threading.Thread(target=d.serve_forever, daemon=True)
+    t.start()
+    for _ in range(100):
+        if d._httpd is not None:
+            break
+        time.sleep(0.05)
+    d.port = d._httpd.server_address[1]
+    yield d
+    d.shutdown()
+
+
+def _ws_connect(port: int) -> socket.socket:
+    s = socket.create_connection(("127.0.0.1", port), timeout=10)
+    key = base64.b64encode(b"0123456789abcdef").decode()
+    s.sendall(
+        (
+            f"GET /ws HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+            f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+            f"Sec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+    )
+    # Read the complete 101 response (ends with CRLFCRLF).
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        buf += s.recv(4096)
+    assert b"101" in buf.split(b"\r\n", 1)[0]
+    return s
+
+
+def _read_frames(s: socket.socket, n: int, timeout: float = 15.0) -> list[dict]:
+    s.settimeout(timeout)
+    buf = b""
+    out: list[dict] = []
+    while len(out) < n:
+        buf += s.recv(65536)
+        while len(out) < n and len(buf) >= 2:
+            ln = buf[1] & 0x7F
+            off = 2
+            if ln == 126:
+                if len(buf) < 4:
+                    break
+                ln = int.from_bytes(buf[2:4], "big")
+                off = 4
+            if len(buf) < off + ln:
+                break
+            out.append(json.loads(buf[off : off + ln]))
+            buf = buf[off + ln :]
+    return out
+
+
+def _packet(seq: int) -> AdsbPacket:
+    # Distinct ICAOs so every broadcast creates/updates an aircraft.
+    from airjax.io import synth
+
+    frame = synth.make_df17(0x7C0000 + seq, synth.make_id_me(f"LOAD{seq:03d}"))
+    return AdsbPacket.from_bytes(frame, float(seq))
+
+
+N_CLIENTS = 12
+N_MSGS = 50
+
+
+def test_concurrent_clients_all_receive_everything(display):
+    clients = [_ws_connect(display.port) for _ in range(N_CLIENTS)]
+    # One client dies abruptly mid-stream.
+    doomed = clients.pop()
+
+    for i in range(N_MSGS):
+        display.on_packet(_packet(i))
+        if i == 10:
+            doomed.close()
+
+    for s in clients:
+        frames = _read_frames(s, N_MSGS)
+        icaos = [f["icao"] for f in frames]
+        assert icaos == [0x7C0000 + i for i in range(N_MSGS)]
+        assert frames[-1]["callsign"] == f"LOAD{N_MSGS - 1:03d}_"  # 8-char pad
+        s.close()
+
+    # The server is still healthy and serving after the abrupt death.
+    import urllib.request
+
+    snap = json.load(
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{display.port}/api/aircraft", timeout=5
+        )
+    )
+    assert len(snap) == N_MSGS
+
+
+def test_late_joiner_gets_snapshot(display):
+    for i in range(5):
+        display.on_packet(_packet(100 + i))
+    s = _ws_connect(display.port)
+    frames = _read_frames(s, 5)
+    assert {f["icao"] for f in frames} == {0x7C0000 + 100 + i for i in range(5)}
+    s.close()
+
+
+def test_lagging_client_drops_not_blocks():
+    b = _Broadcast(depth=3)
+    _, q = b.subscribe()
+    t0 = time.time()
+    for i in range(1000):
+        b.send(str(i))  # never blocks, even with nobody draining
+    assert time.time() - t0 < 1.0
+    got = []
+    while not q.empty():
+        got.append(q.get_nowait())
+    assert got == ["0", "1", "2"]  # depth kept, the rest dropped (Lagged)
