@@ -34,7 +34,7 @@ def display():
     d.shutdown()
 
 
-def _ws_connect(port: int) -> socket.socket:
+def _ws_connect(port: int) -> tuple[socket.socket, bytes]:
     s = socket.create_connection(("127.0.0.1", port), timeout=10)
     key = base64.b64encode(b"0123456789abcdef").decode()
     s.sendall(
@@ -44,20 +44,24 @@ def _ws_connect(port: int) -> socket.socket:
             f"Sec-WebSocket-Version: 13\r\n\r\n"
         ).encode()
     )
-    # Read the complete 101 response (ends with CRLFCRLF).
+    # Read the complete 101 response (ends with CRLFCRLF); anything after
+    # the terminator is already WebSocket frame bytes — hand them back.
     buf = b""
     while b"\r\n\r\n" not in buf:
         buf += s.recv(4096)
     assert b"101" in buf.split(b"\r\n", 1)[0]
-    return s
+    head, _, leftover = buf.partition(b"\r\n\r\n")
+    return s, leftover
 
 
-def _read_frames(s: socket.socket, n: int, timeout: float = 15.0) -> list[dict]:
+def _read_frames(
+    s: socket.socket, n: int, timeout: float = 15.0, initial: bytes = b""
+) -> list[dict]:
     s.settimeout(timeout)
-    buf = b""
+    buf = initial
     out: list[dict] = []
     while len(out) < n:
-        buf += s.recv(65536)
+        # Parse everything already buffered before blocking on the socket.
         while len(out) < n and len(buf) >= 2:
             ln = buf[1] & 0x7F
             off = 2
@@ -70,6 +74,8 @@ def _read_frames(s: socket.socket, n: int, timeout: float = 15.0) -> list[dict]:
                 break
             out.append(json.loads(buf[off : off + ln]))
             buf = buf[off + ln :]
+        if len(out) < n:
+            buf += s.recv(65536)
     return out
 
 
@@ -88,15 +94,15 @@ N_MSGS = 50
 def test_concurrent_clients_all_receive_everything(display):
     clients = [_ws_connect(display.port) for _ in range(N_CLIENTS)]
     # One client dies abruptly mid-stream.
-    doomed = clients.pop()
+    doomed, _ = clients.pop()
 
     for i in range(N_MSGS):
         display.on_packet(_packet(i))
         if i == 10:
             doomed.close()
 
-    for s in clients:
-        frames = _read_frames(s, N_MSGS)
+    for s, leftover in clients:
+        frames = _read_frames(s, N_MSGS, initial=leftover)
         icaos = [f["icao"] for f in frames]
         assert icaos == [0x7C0000 + i for i in range(N_MSGS)]
         assert frames[-1]["callsign"] == f"LOAD{N_MSGS - 1:03d}_"  # 8-char pad
@@ -116,8 +122,8 @@ def test_concurrent_clients_all_receive_everything(display):
 def test_late_joiner_gets_snapshot(display):
     for i in range(5):
         display.on_packet(_packet(100 + i))
-    s = _ws_connect(display.port)
-    frames = _read_frames(s, 5)
+    s, leftover = _ws_connect(display.port)
+    frames = _read_frames(s, 5, initial=leftover)
     assert {f["icao"] for f in frames} == {0x7C0000 + 100 + i for i in range(5)}
     s.close()
 
