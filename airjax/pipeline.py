@@ -326,12 +326,15 @@ def decode_capture_parity(
             c, o = divmod(g, chunk)
             if o < n_off:
                 hits.append((c, o, frame, rec))
-        # Hit-level stats reflect the returned (chunk-filtered) hits;
-        # n_detections stays a whole-stream scan count (the fused scan
-        # cannot cheaply reproduce the per-chunk detection count, and
-        # the hits themselves are what parity is defined over).
+        # Hit-level stats reflect the returned (chunk-filtered) hits, and
+        # n_detections is the exact reference-chunked count (one extra
+        # counting pass; bit-identical to fused=False's per-chunk sum).
         stats = {
-            "n_detections": scan_stats["n_detections"],
+            "n_detections": int(
+                _count_chunked_detections(
+                    jnp.asarray(np.asarray(iq[: n_chunks * chunk])), chunk, n_chunks
+                )
+            ),
             "n_good": len(hits),
             "n_recovered": sum(1 for h in hits if h[3]),
             "overflow": scan_stats.get("overflow", False),
@@ -347,6 +350,24 @@ def decode_capture_parity(
     )
     return hits, _collect_stats(out)
 
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "n_chunks"))
+def _count_chunked_detections(iq: jnp.ndarray, chunk: int, n_chunks: int):
+    """Exact reference-chunked detection count for the fused parity path.
+
+    A chunk-local detection at (c, o) is identical to the whole-stream
+    detection at g = c*chunk + o (magnitudes are per-sample), so the
+    per-chunk count is the whole-stream mask filtered to o < chunk-WINDOW
+    — one cheap extra pass, removing the round-1 documented divergence
+    where fused-parity stats reported a whole-stream count.
+    """
+    mags = magnitude_u16(iq)
+    n_scan = n_chunks * chunk - WINDOW
+    det = detect(mags, n_scan)
+    det = jnp.pad(det, (0, n_chunks * chunk - n_scan))
+    per_chunk = det.reshape(n_chunks, chunk)[:, : chunk - WINDOW]
+    return jnp.sum(per_chunk, dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "capacity"))
