@@ -500,6 +500,18 @@ def body_u16_barrier(iq, n_off, capacity):
     return jnp.sum(good, dtype=jnp.int32), n_det
 
 
+def body_ext(iq, n_off, capacity):
+    """Extended-mode pipeline (preamble-only detection => ~0.055% of
+    offsets are candidates on noise, so capacity is raised to 16384)."""
+    from airjax.pipeline import decode_mags_block_extended
+
+    out = decode_mags_block_extended(magnitude_u16(iq), n_off, 16384)
+    return (
+        jnp.sum(out["good_long"], dtype=jnp.int32),
+        out["n_detections"],
+    )
+
+
 VARIANTS = {
     "base": body_base,
     "ilv": body_ilv,
@@ -521,6 +533,7 @@ VARIANTS = {
     "tile256": make_body_tile(256),
     "tile1024": make_body_tile(1024),
     "u16bar": body_u16_barrier,
+    "ext": body_ext,
     "u16crcf32": body_u16_crcf32,
     "trS": stage_tr_stencil,
 }
