@@ -512,6 +512,85 @@ def body_ext(iq, n_off, capacity):
     )
 
 
+# --------------------------------------------------------------------------
+# Variant: bit-packed compaction — candidate tiles fetched as 16 u32 words
+# (64 B) instead of 512 u8 (512 B); in-tile rank located via popcount
+# prefix + a 5-step select-bit instead of a (K, 512) cumsum/compare.
+# --------------------------------------------------------------------------
+
+
+def _pack_mask_words(mask_u32):
+    """(n,) {0,1} uint32 -> packed words, same layout as pack_cmp_words."""
+    n = mask_u32.shape[0]
+    n_rows = -(-n // 128)
+    padded = jnp.pad(mask_u32.astype(jnp.float32), (0, n_rows * 128 - n)).reshape(
+        n_rows, 128
+    )
+    from airjax.dsp.demod import _PACK_WEIGHTS
+
+    out = jnp.dot(
+        padded, jnp.asarray(_PACK_WEIGHTS), preferred_element_type=jnp.float32
+    )
+    hi = out[:, 0::2].astype(jnp.uint32)
+    lo = out[:, 1::2].astype(jnp.uint32)
+    return ((hi << 16) | lo).reshape(-1)
+
+
+def compact_detections_packed(det, capacity, tile=512):
+    """compact_detections with the candidate-tile fetch bit-packed."""
+    n_off = det.shape[-1]
+    n_tiles = -(-n_off // tile)
+    wpt = tile // 32  # words per tile
+    d = jnp.pad(det, (0, n_tiles * tile - n_off))
+    row_counts = jnp.sum(d.reshape(n_tiles, tile), axis=1, dtype=jnp.int32)
+    row_cum = jnp.cumsum(row_counts)
+    row_start = row_cum - row_counts
+    ranks = jnp.arange(1, capacity + 1, dtype=jnp.int32)
+    row_idx = jnp.searchsorted(row_cum, ranks, side="left").astype(jnp.int32)
+    safe_row = jnp.minimum(row_idx, n_tiles - 1)
+
+    words_all = _pack_mask_words(d.astype(jnp.uint32))  # (n_tiles*wpt,)
+    words = words_all[: n_tiles * wpt].reshape(n_tiles, wpt)[safe_row]  # (K, wpt)
+    pops = jax.lax.population_count(words).astype(jnp.int32)
+    pop_cum = jnp.cumsum(pops, axis=1)
+    local_rank = ranks - row_start[safe_row]  # 1-based within tile
+    word_idx = jnp.sum(pop_cum < local_rank[:, None], axis=1, dtype=jnp.int32)
+    sw = jnp.minimum(word_idx, wpt - 1)
+    word = jnp.take_along_axis(words, sw[:, None], axis=1)[:, 0]
+    rank_in_word = local_rank - jnp.where(
+        sw > 0, jnp.take_along_axis(pop_cum, (sw - 1)[:, None], axis=1)[:, 0], 0
+    )
+    # Select the rank_in_word-th set bit from the MSB (ascending offset):
+    # binary search by popcount of the window's top half; when the target
+    # is in the lower half, shift it up and account for the skipped bits.
+    pos = jnp.zeros_like(rank_in_word)
+    rem = rank_in_word
+    w = word
+    for width in (16, 8, 4, 2, 1):
+        hi = w >> jnp.uint32(32 - width)
+        c = jax.lax.population_count(hi).astype(jnp.int32)
+        go_lo = c < rem
+        rem = jnp.where(go_lo, rem - c, rem)
+        pos = jnp.where(go_lo, pos + width, pos)
+        w = jnp.where(go_lo, w << jnp.uint32(width), w)
+    offsets = safe_row * tile + sw * 32 + pos
+    total = row_cum[-1]
+    valid = ranks <= total
+    return jnp.where(valid, offsets, n_off), total
+
+
+def body_u16_bc(iq, n_off, capacity):
+    mags = magnitude_u16(iq)
+    det = detect(mags, n_off)
+    offsets, n_det = compact_detections_packed(det, capacity)
+    valid = offsets < n_off
+    words = pack_cmp_words(mags)
+    bits = slice_bits_packed(words, jnp.where(valid, offsets, 0))
+    bits, crc_ok, recovered = crc_check_and_recover(bits)
+    good = crc_ok & valid
+    return jnp.sum(good, dtype=jnp.int32), n_det
+
+
 VARIANTS = {
     "base": body_base,
     "ilv": body_ilv,
@@ -534,6 +613,7 @@ VARIANTS = {
     "tile1024": make_body_tile(1024),
     "u16bar": body_u16_barrier,
     "ext": body_ext,
+    "u16bc": body_u16_bc,
     "u16crcf32": body_u16_crcf32,
     "trS": stage_tr_stencil,
 }
