@@ -81,6 +81,12 @@ class AircraftPositionMsg:
     # GNSS height (HAE, metres) instead of the baro AC12 code. The
     # reference classes TC20-22 Unknown (src/adsb/packet.rs:34-38).
     altitude_gnss: bool = False
+    # Extension: True for TC0 (airborne position, no position fix) —
+    # altitude-only broadcast; the CPR fields are meaningless and must
+    # never enter pairing. altitude_valid=False when the AC12 code is 0
+    # ("no altitude available").
+    no_position: bool = False
+    altitude_valid: bool = True
 
     @classmethod
     def from_me_gnss(cls, me: bytes) -> "AircraftPositionMsg":
@@ -120,8 +126,26 @@ class AircraftPositionMsg:
             cpr_longitude=((me[4] & 1) << 16) | (me[5] << 8) | me[6],
         )
 
+    @classmethod
+    def from_me_no_fix(cls, me: bytes) -> "AircraftPositionMsg":
+        """TC0 airborne position without a position fix (extension; the
+        reference classes TC0 Unknown). Same AC12 altitude slot as
+        TC9-18; an all-zero code means no altitude either."""
+        code = (((me[1] & 0xFE) >> 1) << 4) | ((me[2] & 0xF0) >> 4)
+        pos = cls.from_me(me)
+        return dataclasses.replace(
+            pos, no_position=True, altitude_valid=code != 0
+        )
+
     def format(self) -> str:
         fmt = "Odd" if self.cpr_format is CprFormat.ODD else "Even"
+        if self.no_position:
+            alt = str(self.altitude) if self.altitude_valid else "n/a"
+            return (
+                "Message:\n"
+                f"Type                : {self.msg_type} (Position, no fix)\n"
+                f"Altitude (ft)       : {alt}\n"
+            )
         if self.altitude_gnss:
             # Extension display form (never reachable in parity mode).
             return (
@@ -698,6 +722,8 @@ class AdsbPacket:
             msg = AircraftVelocityMsg.from_me(me)
         elif extensions and 20 <= msg_type <= 22:
             msg = AircraftPositionMsg.from_me_gnss(me)
+        elif extensions and msg_type == 0:
+            msg = AircraftPositionMsg.from_me_no_fix(me)
         elif extensions and msg_type == 28:
             msg = AircraftStatusMsg.from_me(me)
         elif extensions and msg_type == 29:

@@ -168,6 +168,13 @@ class Aircraft:
 
         if isinstance(msg.msg, AircraftPositionMsg):
             pos = msg.msg
+            if pos.no_position:
+                # TC0 (extension): altitude-only; the CPR fields are
+                # meaningless and must never enter pairing.
+                if pos.altitude_valid:
+                    self.altitude = pos.altitude
+                self.last_contact = msg.time_processed
+                return
             self.altitude = pos.altitude
             self.last_contact = msg.time_processed
             self.on_ground = False

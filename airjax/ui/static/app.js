@@ -132,6 +132,18 @@ function draw() {
     }
   }
 
+  // 1 km scale bar, bottom-left (reference main.ts:279-284 draw_scale).
+  if (center) {
+    ctx.strokeStyle = "#9fb4ea";
+    ctx.beginPath();
+    ctx.moveTo(25, h - 25);
+    ctx.lineTo(25 + scale * 1000, h - 25);
+    ctx.stroke();
+    ctx.fillStyle = "#9fb4ea";
+    ctx.font = `${12 * devicePixelRatio}px monospace`;
+    ctx.fillText("1 km", 25, h - 32);
+  }
+
   // Airfield overlay (yellow markers, like the reference's NZ airports).
   if (center) {
     ctx.font = `${11 * devicePixelRatio}px monospace`;

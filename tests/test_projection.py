@@ -146,3 +146,5 @@ def test_frontend_wiring():
     assert "getXY(center.lat, center.lon" in app
     # The flat-earth approximation is gone.
     assert "Local azimuthal approximation" not in app
+    # The reference's 1 km scale bar is drawn (main.ts:279-284).
+    assert "scale * 1000" in app and '"1 km"' in app
