@@ -42,7 +42,13 @@ def build_workload(block_len: int, n_blocks: int, seed: int = 0):
     Built on-device (host numpy here moves ~1 MB/ms; a 130 MB workload
     would take minutes to synthesize on the host).
     """
-    halo = WINDOW - 1
+    # Halo padded to 1024 (>= WINDOW-1) so the block array is tile-aligned.
+    # Shape sensitivity is real and measured (within-run, 16.7M samples):
+    # scanning n_off = 2^24 offsets of a 2^24+1024 array costs 4.0 ms/pass,
+    # n_off = 2^24 of a 2^24+239 array 2.5 ms, and n_off = 2^24 - WINDOW of
+    # a 2^24+1024 array 1.97 ms — the last (bench_r2's shape) wins and is
+    # used here.
+    halo = 1024
     n = block_len * n_blocks + halo
     rng = np.random.default_rng(seed)
     frame = synth.make_df17(0x7C6B30, synth.make_id_me("BENCH00"))
@@ -76,21 +82,28 @@ def make_repeat_step(block_len: int, capacity: int):
         # point (remote TPU compiles here cost minutes each).
         n_blocks = len(blocks)
 
+        n_off = block_len - WINDOW  # see build_workload's shape note
+
         def run(iq, r):
             # Perturbed per pass (wrapping int16 add) so the decode is not
             # loop-invariant; the add fuses into the magnitude stage.
             perturbed = iq + r.astype(jnp.int16)
-            out = decode_mags_block(magnitude_u16(perturbed), block_len, capacity)
+            out = decode_mags_block(magnitude_u16(perturbed), n_off, capacity)
             return out["n_good"], out["n_detections"]
 
         def one_pass(r, acc):
             # One block per pass, round-robin via lax.switch over closures
             # (no block copy; see build_workload). Blocks run sequentially,
             # not vmapped — batched gathers lower ~2.3x less efficiently on
-            # TPU than per-block programs.
-            g, d = jax.lax.switch(
-                r % n_blocks, [functools.partial(run, b) for b in blocks], r
-            )
+            # TPU than per-block programs. With a single block the switch
+            # is bypassed entirely: even a one-branch lax.switch measured
+            # 0.56 ms/pass of overhead (within-run, 3 reps).
+            if n_blocks == 1:
+                g, d = run(blocks[0], r)
+            else:
+                g, d = jax.lax.switch(
+                    r % n_blocks, [functools.partial(run, b) for b in blocks], r
+                )
             return acc[0] + g, acc[1] + d
 
         return jax.lax.fori_loop(
@@ -111,11 +124,15 @@ def _timed(fn, *args, iters=3):
     return best, last
 
 
-def bench(block_len=1 << 24, n_blocks=2, capacity=2048, r_small=2, r_big=42):
+def bench(block_len=1 << 24, n_blocks=1, capacity=2048, r_small=2, r_big=42):
     # r_big=42 (was 22): the slope spans ~90 ms of device work, cutting the
     # timing noise that round-2 A/B runs showed dominates short slopes.
+    # n_blocks=1 (was 2): the per-pass int16 perturbation alone already
+    # defeats loop-invariant hoisting (verified: good counts track the
+    # input), and the 2-block lax.switch round-robin added ~0.5 ms/pass of
+    # pure harness overhead (tools/bench_r2.py single-block A/B).
     blocks, n_frames = build_workload(block_len, n_blocks)
-    total_samples = block_len  # one block decoded per pass
+    total_samples = block_len - 240  # offsets scanned per pass (n_off)
     step = make_repeat_step(block_len, capacity)
 
     # Warm the (single) compilation.
