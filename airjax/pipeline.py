@@ -370,15 +370,16 @@ def _count_chunked_detections(iq: jnp.ndarray, chunk: int, n_chunks: int):
     return jnp.sum(per_chunk, dtype=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "capacity"))
-def _decode_block_at(iq_padded: jnp.ndarray, start, block: int, capacity: int):
-    """Decode the block starting at traced offset `start` of a padded
-    capture resident on device (one upload, device-side slicing — a host
-    np.stack of overlapping blocks costs minutes at ~1 MB/ms here)."""
-    ext = jax.lax.dynamic_slice(
-        iq_padded, (start, 0), (block + WINDOW - 1, 2)
-    )
-    return decode_mags_block(magnitude_u16(ext), block, capacity)
+@functools.partial(jax.jit, static_argnames=("slice_len", "n_off", "capacity"))
+def _decode_block_at(
+    iq_padded: jnp.ndarray, start, slice_len: int, n_off: int, capacity: int
+):
+    """Decode `n_off` offsets of the slice starting at traced offset
+    `start` of a padded capture resident on device (one upload,
+    device-side slicing — a host np.stack of overlapping blocks costs
+    minutes at ~1 MB/ms here)."""
+    ext = jax.lax.dynamic_slice(iq_padded, (start, 0), (slice_len, 2))
+    return decode_mags_block(magnitude_u16(ext), n_off, capacity)
 
 
 def decode_capture_overlap(
@@ -392,12 +393,24 @@ def decode_capture_overlap(
     Returns hits as (block_index, global_offset, frame_bytes, recovered).
     """
     block = cfg.block_len
-    halo = WINDOW - 1
     n = len(iq)
     if n < WINDOW:
         return [], {"n_detections": 0, "n_good": 0, "overflow": False}
-    n_blocks = -(-n // block)
-    padded = pad_iq_non_detecting(np.asarray(iq), n_blocks * block + halo)
+    # Shape-tuned decomposition (tools/bench_r2.py, within-run on the v5e):
+    # scanning a power-of-two offset count over a (block + 239)-sample
+    # slice is a measured pathology (1.2x at 2^22, 1.3-2x at 2^24); a
+    # tile-aligned slice of exactly `block` samples with n_off = block-1264
+    # is the fastest shape. Small blocks keep the classic halo form.
+    if block >= 4096:
+        slice_len = block
+        scan = block - 1264
+    else:
+        slice_len = block + WINDOW - 1
+        scan = block
+    n_blocks = -(-max(n - WINDOW + 1, 1) // scan)
+    padded = pad_iq_non_detecting(
+        np.asarray(iq), (n_blocks - 1) * scan + slice_len
+    )
     iq_dev = jnp.asarray(padded)
     # Offsets at the very end whose window would run past the capture are
     # invalid (the reference never scans them either).
@@ -407,14 +420,16 @@ def decode_capture_overlap(
     stats = {"n_detections": 0, "n_good": 0, "n_recovered": 0, "overflow": False}
     for b in range(n_blocks):
         capacity = cfg.max_candidates
-        out = jax.device_get(_decode_block_at(iq_dev, b * block, block, capacity))
-        while bool(out["overflow"]) and capacity < block:
-            capacity = min(capacity * 4, block)
+        out = jax.device_get(
+            _decode_block_at(iq_dev, b * scan, slice_len, scan, capacity)
+        )
+        while bool(out["overflow"]) and capacity < scan:
+            capacity = min(capacity * 4, scan)
             out = jax.device_get(
-                _decode_block_at(iq_dev, b * block, block, capacity)
+                _decode_block_at(iq_dev, b * scan, slice_len, scan, capacity)
             )
         for k in np.nonzero(out["good"])[0]:
-            g = b * block + int(out["offsets"][k])
+            g = b * scan + int(out["offsets"][k])
             if g <= max_global:
                 hits.append(
                     (b, g, out["frames"][k].tobytes(), bool(out["recovered"][k]))

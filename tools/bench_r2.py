@@ -40,7 +40,7 @@ from airjax.dsp.demod import (
     slice_bits_packed,
 )
 from airjax.dsp.magnitude import magnitude_u32
-from airjax.pipeline import compact_mask
+from airjax.pipeline import compact_mask, decode_mags_block
 from airjax.protocol.crc import bits_to_bytes, crc_check_and_recover
 from tools.bench_fused import BLOCK, CAPACITY, build_iq, make_step, timed
 
@@ -591,6 +591,24 @@ def body_u16_bc(iq, n_off, capacity):
     return jnp.sum(good, dtype=jnp.int32), n_det
 
 
+# Production overlap-decomposition shapes at block 2^22 (the fused parity
+# scan's block): current = slice 2^22+239 / n_off 2^22; tuned = slice 2^22
+# (aligned) / n_off 2^22-1264.
+SUB = 1 << 22
+
+
+def body_shape_old(iq, n_off, capacity):
+    ext = jax.lax.dynamic_slice(iq, (0, 0), (SUB + 239, 2))
+    out = decode_mags_block(magnitude_u16(ext), SUB, capacity)
+    return out["n_good"], out["n_detections"]
+
+
+def body_shape_new(iq, n_off, capacity):
+    ext = jax.lax.dynamic_slice(iq, (0, 0), (SUB, 2))
+    out = decode_mags_block(magnitude_u16(ext), SUB - 1264, capacity)
+    return out["n_good"], out["n_detections"]
+
+
 VARIANTS = {
     "base": body_base,
     "ilv": body_ilv,
@@ -614,6 +632,8 @@ VARIANTS = {
     "u16bar": body_u16_barrier,
     "ext": body_ext,
     "u16bc": body_u16_bc,
+    "shapeOld": body_shape_old,
+    "shapeNew": body_shape_new,
     "u16crcf32": body_u16_crcf32,
     "trS": stage_tr_stencil,
 }
