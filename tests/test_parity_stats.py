@@ -36,3 +36,23 @@ def test_fused_stats_match_per_chunk(seed):
     assert hits_f == hits_l
     assert stats_f["n_detections"] == stats_l["n_detections"]
     assert stats_f["n_good"] == stats_l["n_good"]
+
+
+def test_overlap_hits_invariant_under_block_size():
+    """decode_capture_overlap must return the identical global hit stream
+    for ANY block decomposition (incl. the shape-tuned large-block form
+    with its off-power scan stride and the small-block halo form)."""
+    from airjax.pipeline import decode_capture_overlap
+
+    frame = synth.make_df17(0x7C6B30, synth.make_id_me("INVAR"))
+    n = 21000
+    # Offsets straddling several 4096-1264=2832 and 4096 boundaries.
+    offs = [100, 2800, 4090, 5660, 8190, 16380, 20100]
+    iq = synth.modulate([frame] * len(offs), offs, n, snr_db=14, seed=9)
+    results = []
+    for block in (4096, 8192, 2000, n):
+        hits, _ = decode_capture_overlap(iq, PipelineConfig(block_len=block))
+        results.append(sorted((g, f, r) for _, g, f, r in hits))
+    assert results[0] == results[1] == results[2] == results[3]
+    got = {g for g, f, _ in results[0] if f == frame}
+    assert got >= set(offs)
