@@ -6,17 +6,25 @@ then attack the top consumer. All timings happen in ONE process on one
 device session so comparisons are within-run (cross-run tunnel variance is
 up to 3x — CLAUDE.md).
 
-Variants:
-  base         — current production decode_mags_block
-  ilv          — interleaved sublane bit-pack: cmp reshaped (R, 32, 128) and
-                 summed over the 32-sublane axis (the current pack's
-                 (N/32, 32) lane-minor reduction uses 32 of 128 lanes and
-                 relayouts; this one reduces along sublanes at full lane
-                 width), with a matching (K, 112) word-gather slicer
-  dense        — no pack at all: cmp materialized as a u8 plane, slicing is
-                 a (K, 112) byte gather
+Variants (W = promoted win, L = measured loss; see PERF_r02.md):
+  base      — r1 production pipeline (u32 mags + lane-minor VPU pack)
+  u16       W u16 magnitudes (lossless; halves magnitude-stream bytes)
+  mxp/u16mxp W MXU matmul bit-pack (same word layout, full lane width)
+  ilv/u16ilv L interleaved sublane pack (its per-bit word gathers kill it)
+  dense/u16dense L cmp as u8 plane, (K,112) byte-gather slice
+  lazy/u16lazy/u16lazymxp L preamble-only stencil + per-candidate DF17
+  u16bc     L bit-packed compaction (16-word tiles + popcount rank-select)
+  u16ds     — vmapped-dynamic-slice word fetch (HANGS the remote compiler)
+  u16bar    — optimization_barrier after mags (HANGS the remote compiler)
+  u16crcf32 = f32-MXU CRC (wash; CRC is already free)
+  tile128/256/1024 — compaction tile sweep (wash/wash/L)
+  ext       — extended-mode pipeline (all DFs, 16k capacity)
+  flatS/trS/sliceU16/compactU16/sliceDS/shapeOld/shapeNew — stage probes
+  trS       L transposed row-stencil (the 128xseg transpose dominates)
+  shapeOld/shapeNew — overlap-decomposition slice shapes (new promoted)
 
-Run: python tools/bench_r2.py [--r-big 12] [--stages] [--variants base,ilv,dense]
+Run: python tools/bench_r2.py [--r-big 42] [--repeat 3] [--stages]
+     [--variants base,u16mxp,...] [--platform cpu]
 """
 
 import argparse
