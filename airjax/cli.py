@@ -111,7 +111,7 @@ def _cmd_adsb(args) -> int:
         from airjax import sdr
 
         try:
-            source = sdr.SdrSource(device=args.device).blocks()
+            sdr_src = sdr.SdrSource(device=args.device)
         except sdr.SdrUnavailable as e:
             print(
                 f"error: {e}\nhint: use --playback FILE or --synthetic N",
@@ -119,7 +119,24 @@ def _cmd_adsb(args) -> int:
             )
             return 1
 
-    if args.max_blocks is not None:
+        def _sdr_blocks(src=sdr_src, limit=args.max_blocks):
+            # Deactivate/close the hardware stream however the consumer
+            # stops (bound reached, generator dropped, or exception) —
+            # a bare islice over blocks() would leave the SDR streaming
+            # into a dead buffer.
+            try:
+                for i, blk in enumerate(src.blocks()):
+                    if limit is not None and i >= limit:
+                        return
+                    yield blk
+            finally:
+                src.close()
+
+        source = _sdr_blocks()
+
+    if args.max_blocks is not None and not (
+        args.playback is None and args.synthetic is None
+    ):
         import itertools
 
         source = itertools.islice(iter(source), args.max_blocks)

@@ -52,7 +52,7 @@ def magnitude_u32(iq: jnp.ndarray) -> jnp.ndarray:
 def magnitude_u16(iq: jnp.ndarray) -> jnp.ndarray:
     """(..., 2) int16 I/Q -> (...) uint16 magnitudes, bit-exact vs reference.
 
-    The maximum magnitude is isqrt(2 * 32768^2) = 46341 < 2^16, so
+    The maximum magnitude is isqrt(2 * 32768^2) = 46340 < 2^16, so
     narrowing to u16 is lossless and every unsigned comparison downstream
     (the detector's >= stencil and the PPM pair compares) is identical to
     the u32 form — while halving the HBM bytes of the magnitude write and

@@ -318,22 +318,21 @@ def decode_capture_parity(
         import dataclasses
 
         scan_cfg = dataclasses.replace(cfg, block_len=max(chunk, 1 << 22))
-        whole, scan_stats = decode_capture_overlap(
-            np.asarray(iq[: n_chunks * chunk]), scan_cfg
-        )
+        prep = _prep_overlap(np.asarray(iq[: n_chunks * chunk]), scan_cfg)
+        whole, scan_stats = _overlap_scan(*prep, scan_cfg)
         hits = []
         for _, g, frame, rec in whole:
             c, o = divmod(g, chunk)
             if o < n_off:
                 hits.append((c, o, frame, rec))
         # Hit-level stats reflect the returned (chunk-filtered) hits, and
-        # n_detections is the exact reference-chunked count (one extra
-        # counting pass; bit-identical to fused=False's per-chunk sum).
+        # n_detections is the exact reference-chunked count — an extra
+        # counting pass over the SAME device array as the scan (prep[0]'s
+        # prefix is the capture; this dev host uploads at ~20-30 MB/s, so
+        # a second upload would double the wall time of big captures).
         stats = {
             "n_detections": int(
-                _count_chunked_detections(
-                    jnp.asarray(np.asarray(iq[: n_chunks * chunk])), chunk, n_chunks
-                )
+                _count_chunked_detections(prep[0], chunk, n_chunks)
             ),
             "n_good": len(hits),
             "n_recovered": sum(1 for h in hits if h[3]),
@@ -361,6 +360,10 @@ def _count_chunked_detections(iq: jnp.ndarray, chunk: int, n_chunks: int):
     per-chunk count is the whole-stream mask filtered to o < chunk-WINDOW
     — one cheap extra pass, removing the round-1 documented divergence
     where fused-parity stats reported a whole-stream count.
+
+    `iq` may extend beyond n_chunks*chunk samples (e.g. the overlap
+    scan's padded device array, reused to avoid a second upload); the
+    tail is never scanned.
     """
     mags = magnitude_u16(iq)
     n_scan = n_chunks * chunk - WINDOW
@@ -392,15 +395,28 @@ def decode_capture_overlap(
     of `block_len` each carry a halo of WINDOW-1 samples from the next block.
     Returns hits as (block_index, global_offset, frame_bytes, recovered).
     """
+    prep = _prep_overlap(iq, cfg)
+    if prep is None:
+        return [], {"n_detections": 0, "n_good": 0, "overflow": False}
+    return _overlap_scan(*prep, cfg)
+
+
+def _prep_overlap(iq: np.ndarray, cfg: PipelineConfig):
+    """Pad + upload a capture for the overlap scan; None if too short.
+
+    Shape-tuned decomposition (tools/bench_r2.py, within-run on the v5e):
+    scanning a power-of-two offset count over a (block + 239)-sample
+    slice is a measured pathology (1.2x at 2^22, 1.3-2x at 2^24); a
+    tile-aligned slice of exactly `block` samples with n_off = block-1264
+    is the fastest shape. Small blocks keep the classic halo form.
+    Returns (iq_dev, n, slice_len, scan, n_blocks) — iq_dev[:n] is the
+    capture itself (the pad is non-detecting), so callers can reuse the
+    single upload for extra passes like _count_chunked_detections.
+    """
     block = cfg.block_len
     n = len(iq)
     if n < WINDOW:
-        return [], {"n_detections": 0, "n_good": 0, "overflow": False}
-    # Shape-tuned decomposition (tools/bench_r2.py, within-run on the v5e):
-    # scanning a power-of-two offset count over a (block + 239)-sample
-    # slice is a measured pathology (1.2x at 2^22, 1.3-2x at 2^24); a
-    # tile-aligned slice of exactly `block` samples with n_off = block-1264
-    # is the fastest shape. Small blocks keep the classic halo form.
+        return None
     if block >= 4096:
         slice_len = block
         scan = block - 1264
@@ -411,7 +427,17 @@ def decode_capture_overlap(
     padded = pad_iq_non_detecting(
         np.asarray(iq), (n_blocks - 1) * scan + slice_len
     )
-    iq_dev = jnp.asarray(padded)
+    return jnp.asarray(padded), n, slice_len, scan, n_blocks
+
+
+def _overlap_scan(
+    iq_dev: jnp.ndarray,
+    n: int,
+    slice_len: int,
+    scan: int,
+    n_blocks: int,
+    cfg: PipelineConfig,
+) -> tuple[list[tuple[int, int, bytes, bool]], dict]:
     # Offsets at the very end whose window would run past the capture are
     # invalid (the reference never scans them either).
     max_global = n - WINDOW

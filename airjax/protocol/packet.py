@@ -131,10 +131,13 @@ class AircraftPositionMsg:
         """TC0 airborne position without a position fix (extension; the
         reference classes TC0 Unknown). Same AC12 altitude slot as
         TC9-18; an all-zero code means no altitude either."""
-        code = (((me[1] & 0xFE) >> 1) << 4) | ((me[2] & 0xF0) >> 4)
+        # Full 12-bit AC12 field INCLUDING the Q bit: Q=1 with zero value
+        # is a legal -1000 ft encoding, only all-12-zeros means "no
+        # altitude available".
+        code12 = (me[1] << 4) | (me[2] >> 4)
         pos = cls.from_me(me)
         return dataclasses.replace(
-            pos, no_position=True, altitude_valid=code != 0
+            pos, no_position=True, altitude_valid=code12 != 0
         )
 
     def format(self) -> str:

@@ -132,7 +132,7 @@ def bench(block_len=1 << 24, n_blocks=1, capacity=2048, r_small=2, r_big=42):
     # input), and the 2-block lax.switch round-robin added ~0.5 ms/pass of
     # pure harness overhead (tools/bench_r2.py single-block A/B).
     blocks, n_frames = build_workload(block_len, n_blocks)
-    total_samples = block_len - 240  # offsets scanned per pass (n_off)
+    total_samples = block_len - WINDOW  # offsets scanned per pass (n_off)
     step = make_repeat_step(block_len, capacity)
 
     # Warm the (single) compilation.

@@ -16,8 +16,10 @@ ICAO = 0x7C6B30
 
 def _tc0_frame(altitude_ft=None, cpr_lat=12345, cpr_lon=54321):
     if altitude_ft is None:
-        me = synth.make_position_me(0, -1000, cpr_lat, cpr_lon, odd=False)
-        # -1000 ft encodes as AC12 code 0 = "no altitude available"
+        # True "no altitude available": ALL 12 AC12 bits zero (Q included).
+        me = synth.make_position_me(
+            0, -1000, cpr_lat, cpr_lon, odd=False, q25=False
+        )
     else:
         me = synth.make_position_me(0, altitude_ft, cpr_lat, cpr_lon, odd=False)
     return synth.make_df17(ICAO, me)
@@ -59,6 +61,15 @@ def test_tc0_zero_code_means_no_altitude():
     a = aircrafts[ICAO]
     assert a.altitude == 12000  # the "no altitude" TC0 did not clobber it
     assert a.last_contact == 2.0
+
+
+def test_tc0_q_bit_only_is_a_valid_minus_1000():
+    """AC12 with only the Q bit set encodes -1000 ft and must NOT be
+    misread as 'no altitude' (the validity check covers all 12 bits)."""
+    me = synth.make_position_me(0, -1000, 1, 1, odd=False, q25=True)
+    pkt = AdsbPacket.from_bytes(synth.make_df17(ICAO, me), 1.0, extensions=True)
+    assert pkt.msg.no_position and pkt.msg.altitude_valid
+    assert pkt.msg.altitude == -1000
 
 
 def test_tc0_stays_unknown_in_parity_mode():

@@ -14,9 +14,7 @@ decoded position is read back over a real RFC 6455 WebSocket frame and
 the /api/aircraft snapshot — the full L2->L7 stack on antenna-real data.
 """
 
-import base64
 import json
-import socket
 import threading
 import time
 
@@ -46,42 +44,9 @@ def wellington_c16(tmp_path_factory):
     return path
 
 
-def _ws_connect(port: int) -> socket.socket:
-    s = socket.create_connection(("127.0.0.1", port), timeout=10)
-    key = base64.b64encode(b"0123456789abcdef").decode()
-    s.sendall(
-        (
-            f"GET /ws HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
-            f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
-            f"Sec-WebSocket-Version: 13\r\n\r\n"
-        ).encode()
-    )
-    time.sleep(0.2)
-    resp = s.recv(2048).decode(errors="replace")
-    assert "101" in resp.splitlines()[0]
-    return s
-
-
-def _ws_frames(s: socket.socket, n: int) -> list[dict]:
-    """Read n text frames (fin, unfragmented, <64k) from the socket."""
-    s.settimeout(10)
-    buf = b""
-    out = []
-    while len(out) < n:
-        buf += s.recv(65536)
-        while len(out) < n and len(buf) >= 2:
-            ln = buf[1] & 0x7F
-            off = 2
-            if ln == 126:
-                if len(buf) < 4:
-                    break
-                ln = int.from_bytes(buf[2:4], "big")
-                off = 4
-            if len(buf) < off + ln:
-                break
-            out.append(json.loads(buf[off : off + ln]))
-            buf = buf[off + ln :]
-    return out
+# Race-safe WS client helpers shared with the load tests (they hand back
+# any frame bytes that arrive in the same recv as the 101 handshake).
+from tests.test_web_load import _read_frames, _ws_connect  # noqa: E402
 
 
 def test_wellington_iq_to_browser(wellington_c16):
@@ -93,7 +58,7 @@ def test_wellington_iq_to_browser(wellington_c16):
             break
         time.sleep(0.05)
     port = display._httpd.server_address[1]
-    ws = _ws_connect(port)
+    ws, leftover = _ws_connect(port)
 
     # The exact `adsb -m web --playback` pipeline: .c16 playback blocks
     # through the jitted decode into the display sink.
@@ -105,7 +70,7 @@ def test_wellington_iq_to_browser(wellington_c16):
 
     # Both decoded packets were broadcast over the live WebSocket; the
     # second (odd, completing the CPR pair) must carry the position.
-    frames = _ws_frames(ws, 2)
+    frames = _read_frames(ws, 2, initial=leftover)
     ws.close()
     for f in frames:
         assert f["icao"] == 0x7C6B30

@@ -191,7 +191,7 @@ def body_u16_mxp(iq, n_off, capacity):
 
 
 def magnitude_u16(iq: jnp.ndarray) -> jnp.ndarray:
-    """Exact magnitudes stored u16: max |IQ| = isqrt(2^31) = 46341 < 2^16,
+    """Exact magnitudes stored u16: max |IQ| = isqrt(2^31) = 46340 < 2^16,
     so narrowing is lossless and halves every magnitude-stream HBM pass
     (write + two reads). Comparisons on u16 are identical to u32."""
     return magnitude_u32(iq).astype(jnp.uint16)
