@@ -617,6 +617,21 @@ def body_shape_new(iq, n_off, capacity):
     return out["n_good"], out["n_detections"]
 
 
+def body_u16_off1264(iq, n_off, capacity):
+    """u16mxp with n_off = BLOCK - 1264 (the production overlap choice)
+    instead of BLOCK - 240."""
+    mags = magnitude_u16(iq)
+    n2 = (BLOCK - 1264)
+    det = detect(mags, n2)
+    offsets, n_det = compact_mask(det, capacity)
+    valid = offsets < n2
+    words = pack_cmp_words(mags)
+    bits = slice_bits_packed(words, jnp.where(valid, offsets, 0))
+    bits, crc_ok, recovered = crc_check_and_recover(bits)
+    good = crc_ok & valid
+    return jnp.sum(good, dtype=jnp.int32), n_det
+
+
 VARIANTS = {
     "base": body_base,
     "ilv": body_ilv,
@@ -640,6 +655,7 @@ VARIANTS = {
     "u16bar": body_u16_barrier,
     "ext": body_ext,
     "u16bc": body_u16_bc,
+    "off1264": body_u16_off1264,
     "shapeOld": body_shape_old,
     "shapeNew": body_shape_new,
     "u16crcf32": body_u16_crcf32,
