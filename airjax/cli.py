@@ -196,7 +196,7 @@ def _cmd_adsb(args) -> int:
 
         from airjax.ui.tui import TuiApp, interactive_display
 
-        app = TuiApp(ref_position=ref_position)
+        app = TuiApp(ref_position=ref_position, evict_after_s=args.evict_after)
         if restored:
             app.aircrafts.update(restored)
         decode_thread = threading.Thread(
@@ -218,6 +218,7 @@ def _cmd_adsb(args) -> int:
             quiet=False,
             extended_schema=args.extended,
             ref_position=ref_position,
+            evict_after_s=args.evict_after,
         )
         display.start_background()
         if restored:
@@ -295,6 +296,11 @@ def build_parser() -> argparse.ArgumentParser:
     adsb.add_argument(
         "--ref-lon", type=float, default=None,
         help="receiver longitude (enables surface-position decode)",
+    )
+    adsb.add_argument(
+        "--evict-after", type=float, default=None, metavar="SECONDS",
+        help="drop aircraft unheard for SECONDS (web/interactive modes; "
+        "default: never, matching the reference's unbounded table)",
     )
 
     return parser

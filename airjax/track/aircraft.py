@@ -276,3 +276,28 @@ def handle_aircraft_update(
     aircraft = aircrafts.setdefault(packet.icao, Aircraft(packet.icao))
     aircraft.handle_packet(packet, ref_position=ref_position)
     return aircraft
+
+
+def evict_stale(
+    aircrafts: dict[int, Aircraft],
+    max_age_s: float,
+    now: Optional[float] = None,
+) -> int:
+    """Drop aircraft not heard from in `max_age_s` seconds (extension).
+
+    The reference's HashMap grows without bound (src/adsb/aircraft.rs:158-165
+    only ever inserts); a long-running receiver near a busy airway
+    accumulates every ICAO it has ever heard. This is opt-in (CLI
+    `--evict-after`) and OFF by default so default-mode tracker state stays
+    reference-identical. Returns the number of aircraft evicted.
+    """
+    if now is None:
+        now = time.time()
+    stale = [
+        icao
+        for icao, a in aircrafts.items()
+        if now - a.last_contact > max_age_s
+    ]
+    for icao in stale:
+        del aircrafts[icao]
+    return len(stale)

@@ -21,12 +21,19 @@ WIDTHS = [8, 11, 11, 12, 12, 10, 6]
 
 
 class TuiApp:
-    def __init__(self, ref_position: tuple[float, float] | None = None):
+    def __init__(
+        self,
+        ref_position: tuple[float, float] | None = None,
+        evict_after_s: float | None = None,
+    ):
         self.aircrafts: dict[int, Aircraft] = {}
         self.num_packets = 0
         self.queue: "queue.Queue[AdsbPacket]" = queue.Queue()
         # Receiver (lat, lon); enables surface-position decode (extension).
         self.ref_position = ref_position
+        # Age-based eviction (extension; None = reference behavior: the
+        # table grows without bound, src/adsb/aircraft.rs:158-165).
+        self.evict_after_s = evict_after_s
 
     def on_packet(self, packet: AdsbPacket) -> None:
         """Sink callable — safe to call from the decode thread."""
@@ -37,11 +44,15 @@ class TuiApp:
             try:
                 packet = self.queue.get_nowait()
             except queue.Empty:
-                return
+                break
             self.num_packets += 1
             from airjax.extended import handle_extended_update
 
             handle_extended_update(packet, self.aircrafts, self.ref_position)
+        if self.evict_after_s is not None:
+            from airjax.track.aircraft import evict_stale
+
+            evict_stale(self.aircrafts, self.evict_after_s)
 
     def _rows(self):
         planes = sorted(self.aircrafts.values(), key=lambda a: a.get_age())

@@ -81,6 +81,7 @@ class WebDisplay:
         quiet: bool = False,
         extended_schema: bool = False,
         ref_position: tuple[float, float] | None = None,
+        evict_after_s: float | None = None,
     ):
         self.host = host
         self.port = port
@@ -90,6 +91,11 @@ class WebDisplay:
         # extended_schema adds velocity/squawk keys to the JSON (extended
         # decode mode); default stays bindings/AircraftSummary.ts-exact.
         self.extended_schema = extended_schema
+        # Age-based eviction (extension; None = reference behavior: the
+        # table grows without bound, src/adsb/aircraft.rs:158-165).
+        # Checked at most once per second, not per packet.
+        self.evict_after_s = evict_after_s
+        self._last_evict = 0.0
         self.aircrafts: dict[int, Aircraft] = {}
         self.broadcast = _Broadcast()
         self._lock = threading.Lock()
@@ -106,6 +112,15 @@ class WebDisplay:
                 .get_summary()
                 .to_json(extended=self.extended_schema)
             )
+            if self.evict_after_s is not None:
+                import time as _time
+
+                now = _time.time()
+                if now - self._last_evict >= 1.0:
+                    from airjax.track.aircraft import evict_stale
+
+                    evict_stale(self.aircrafts, self.evict_after_s, now=now)
+                    self._last_evict = now
         msg = json.dumps(summary)
         if not self.quiet:
             print(f"Broadcasting aircraft summary: {msg}")
