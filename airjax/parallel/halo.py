@@ -26,9 +26,37 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 from airjax.dsp.demod import WINDOW
 from airjax.dsp.magnitude import magnitude_u16
 from airjax.parallel.mesh import TIME_AXIS
-from airjax.pipeline import decode_mags_block
+from airjax.pipeline import decode_mags_block, decode_mags_block_extended
 
 HALO = WINDOW - 1  # 239
+
+# The tuned shard decomposition pads so block ≡ TUNED_RESIDUE (mod 1024):
+# then a TUNED_HALO-sample exchange makes the per-shard slice
+# (block + 240) exactly 1024-tile-aligned while n_off = block stays off a
+# power of two — the shape measured fastest within-run on the real chip
+# (tools/bench_shard_shapes.py, PERF_r03; the old block+239/power-of-two
+# shape is the pathology PERF_r02 §2 measured 1.2-2x slower).
+TUNED_HALO = 240
+TUNED_RESIDUE = (-TUNED_HALO) % 1024  # 784
+
+
+def _halo_size(block: int) -> int:
+    """Per-shard halo: 240 when the caller opted into the tuned
+    decomposition (block ≡ 784 mod 1024), else the minimal 239. Both
+    cover the 239 samples a window straddling the shard edge needs; the
+    extra sample exists purely to tile-align the per-shard slice."""
+    if block % 1024 == TUNED_RESIDUE:
+        return TUNED_HALO
+    return HALO
+
+
+def tuned_block(per_shard: int) -> int:
+    """Round a per-shard sample count UP to the tuned congruence class
+    (≡ 784 mod 1024) so `build_sharded_decoder` picks the fast shape.
+    Below 4096 samples the shape effect is noise and the minimal pad wins."""
+    if per_shard < 4096:
+        return per_shard
+    return per_shard + (TUNED_RESIDUE - per_shard) % 1024
 
 
 def build_sharded_decoder(
@@ -47,7 +75,9 @@ def build_sharded_decoder(
       frames  (D*K, 14) uint8
       n_detections, n_good () int32 (summed over shards)
 
-    `n_samples` must divide evenly by the mesh size (pad on host).
+    `n_samples` must divide evenly by the mesh size (pad on host — ideally
+    to `tuned_block(...) * n_dev` so the shard-local kernel runs the
+    measured-fast shape).
     """
     n_dev = mesh.shape[axis]
     if n_samples % n_dev != 0:
@@ -55,14 +85,15 @@ def build_sharded_decoder(
     block = n_samples // n_dev
     if block < HALO:
         raise ValueError(f"per-shard block {block} smaller than halo {HALO}")
+    halo_n = _halo_size(block)
     max_offset = n_samples - WINDOW  # last scannable global offset
     perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
     def local_step(iq_local: jnp.ndarray) -> dict[str, jnp.ndarray]:
         # iq_local: (block, 2) int16 on each device
         mags = magnitude_u16(iq_local)  # (block,)
-        halo = jax.lax.ppermute(mags[:HALO], axis, perm)  # right nbr's head
-        ext = jnp.concatenate([mags, halo])  # (block + 239,)
+        halo = jax.lax.ppermute(mags[:halo_n], axis, perm)  # right nbr's head
+        ext = jnp.concatenate([mags, halo])  # (block + halo_n,)
         res = decode_mags_block(ext, block, capacity_per_shard)
         base = jax.lax.axis_index(axis).astype(jnp.int32) * block
         global_offsets = res["offsets"] + base
@@ -129,8 +160,12 @@ def decode_capture_sharded(
 
     n_dev = mesh.shape[axis]
     n = len(iq)
-    padded_len = -(-n // n_dev) * n_dev
-    block = padded_len // n_dev
+    # Pad so the per-shard block lands in the tuned congruence class
+    # (≡ 784 mod 1024 when big enough): the shard-local kernel then scans
+    # an off-power offset count over a tile-aligned slice — the shape the
+    # within-run chip A/B measured fastest (tools/bench_shard_shapes.py).
+    block = tuned_block(-(-n // n_dev))
+    padded_len = block * n_dev
     arr = pad_iq_non_detecting(np.asarray(iq, dtype=np.int16), padded_len)
     iq_dev = jnp.asarray(arr)
     step = build_sharded_decoder(mesh, padded_len, capacity_per_shard, axis)
@@ -155,5 +190,153 @@ def decode_capture_sharded(
         "n_detections": int(out["n_detections"]),
         "n_good": int(out["n_good"]),
         "overflow": bool(out["overflow"]),
+        # Final capacity: > the caller's argument iff the regrow loop fired.
+        "capacity_per_shard": capacity_per_shard,
     }
     return hits, stats
+
+
+# ---------------------------------------------------------------------------
+# Extended mode (every Mode S downlink format), sharded
+# ---------------------------------------------------------------------------
+
+# Boolean per-candidate classes produced by decode_mags_block_extended that
+# must be masked to the shard's owned offset range.
+_EXT_MASK_KEYS = (
+    "good_long",
+    "recovered",
+    "good_df11",
+    "cand_df11_ic",
+    "cand_short_ap",
+    "cand_long_ap",
+)
+# Per-candidate payloads carried through unmasked (consumers index them only
+# at positions one of the masks selects).
+_EXT_DATA_KEYS = ("df", "icao_ap_short", "icao_ap_long")
+_EXT_FRAME_KEYS = ("frames", "frames_raw")
+
+
+def build_sharded_decoder_extended(
+    mesh: Mesh,
+    n_samples: int,
+    capacity_per_shard: int,
+    axis: str = TIME_AXIS,
+):
+    """Sharded decode of EVERY Mode S downlink format (DF0/4/5/11/16/17+,
+    20/21) — the extended pipeline (airjax.pipeline.decode_mags_block_extended,
+    preamble-only stencil + dual long/short CRC) under the same
+    overlap-save ppermute halo as the DF17 decoder. The detector gate being
+    generalized is the reference's at src/adsb/demod.rs:38-54.
+
+    Returns a jitted step mapping ({n_samples}, 2) int16 IQ to the global
+    candidate dict `airjax.extended.assemble_extended` consumes (offsets
+    globalized; every validity class masked to owned, in-capture offsets).
+    """
+    n_dev = mesh.shape[axis]
+    if n_samples % n_dev != 0:
+        raise ValueError(f"n_samples {n_samples} not divisible by mesh size {n_dev}")
+    block = n_samples // n_dev
+    if block < HALO:
+        raise ValueError(f"per-shard block {block} smaller than halo {HALO}")
+    halo_n = _halo_size(block)
+    max_offset = n_samples - WINDOW
+    perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def local_step(iq_local: jnp.ndarray) -> dict[str, jnp.ndarray]:
+        mags = magnitude_u16(iq_local)
+        halo = jax.lax.ppermute(mags[:halo_n], axis, perm)
+        ext = jnp.concatenate([mags, halo])
+        res = decode_mags_block_extended(ext, block, capacity_per_shard)
+        base = jax.lax.axis_index(axis).astype(jnp.int32) * block
+        global_offsets = res["offsets"] + base
+        in_range = res["valid"] & (global_offsets <= max_offset)
+        out = {
+            "offsets": jnp.where(in_range, global_offsets, n_samples),
+            "n_detections": res["n_detections"][None],
+            "overflow": res["overflow"][None],
+        }
+        for k in _EXT_MASK_KEYS:
+            out[k] = res[k] & in_range
+        for k in _EXT_DATA_KEYS + _EXT_FRAME_KEYS:
+            out[k] = res[k]
+        return out
+
+    specs = {
+        "offsets": PartitionSpec(axis),
+        "n_detections": PartitionSpec(axis),
+        "overflow": PartitionSpec(axis),
+        **{k: PartitionSpec(axis) for k in _EXT_MASK_KEYS},
+        **{k: PartitionSpec(axis) for k in _EXT_DATA_KEYS},
+        **{k: PartitionSpec(axis, None) for k in _EXT_FRAME_KEYS},
+    }
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=PartitionSpec(axis, None),
+        out_specs=specs,
+    )
+    in_sharding = NamedSharding(mesh, PartitionSpec(axis, None))
+
+    @jax.jit
+    def step(iq: jnp.ndarray):
+        iq = jax.lax.with_sharding_constraint(iq, in_sharding)
+        out = sharded(iq)
+        out["n_detections"] = jnp.sum(out["n_detections"])
+        out["overflow"] = jnp.any(out["overflow"])
+        return out
+
+    return step
+
+
+def decode_capture_sharded_extended(
+    iq,
+    mesh: Mesh,
+    capacity_per_shard: int = 2048,
+    axis: str = TIME_AXIS,
+    now: float = 0.0,
+    cache=None,
+):
+    """Host convenience: sharded extended decode -> ordered typed packets.
+
+    Returns ([(global_offset, packet)], stats) via
+    airjax.extended.assemble_extended — identical semantics to decoding the
+    whole capture as ONE extended block (the ICAO acceptance cache sees all
+    CRC-validated frames before any AP-addressed candidate is gated).
+    """
+    import numpy as np
+
+    from airjax.extended import assemble_extended
+    from airjax.pipeline import pad_iq_non_detecting
+    from airjax.track.icao_cache import IcaoCache
+
+    n_dev = mesh.shape[axis]
+    n = len(iq)
+    block = tuned_block(-(-n // n_dev))
+    padded_len = block * n_dev
+    arr = pad_iq_non_detecting(np.asarray(iq, dtype=np.int16), padded_len)
+    iq_dev = jnp.asarray(arr)
+    step = build_sharded_decoder_extended(mesh, padded_len, capacity_per_shard, axis)
+    out = jax.device_get(step(iq_dev))
+    while bool(out["overflow"]) and capacity_per_shard < block:
+        capacity_per_shard = min(capacity_per_shard * 4, block)
+        step = build_sharded_decoder_extended(
+            mesh, padded_len, capacity_per_shard, axis
+        )
+        out = jax.device_get(step(iq_dev))
+
+    # The padded-capture mask already bounded offsets by padded_len; bound
+    # them by the true capture here (windows past len(iq) were never real).
+    max_offset = n - WINDOW
+    in_cap = np.asarray(out["offsets"]) <= max_offset
+    for k in _EXT_MASK_KEYS:
+        out[k] = np.asarray(out[k]) & in_cap
+
+    packets = assemble_extended(out, now, cache if cache is not None else IcaoCache())
+    stats = {
+        "n_detections": int(out["n_detections"]),
+        "n_good_long": int(np.sum(out["good_long"])),
+        "n_good_df11": int(np.sum(out["good_df11"])),
+        "overflow": bool(out["overflow"]),
+        "capacity_per_shard": capacity_per_shard,
+    }
+    return packets, stats

@@ -28,6 +28,12 @@ from airjax.dsp.demod import WINDOW
 from airjax.io.source import Prefetcher
 from airjax.protocol.packet import AdsbPacket
 
+# Overlap-mode blocks at least this long use the shape-tuned scan
+# (1024-aligned slice, n_off ≡ 784 mod 1024 — the within-run chip winner,
+# tools/bench_shard_shapes.py). Below it, per-call overhead dominates and
+# the minimal classic decomposition (n_off = len - 239) is kept.
+TUNED_STREAM_MIN = 1 << 16
+
 
 class StreamStats:
     def __init__(self):
@@ -143,7 +149,9 @@ def run_stream(
                         detection_offset=0,
                         title=f"frame @ {base + local if overlap else local}",
                     )
-        stats.blocks += 1
+        # The tail flush is an extra decode call, not a source block
+        # (its entry carries n_samples=0): it must not skew block counts.
+        stats.blocks += 1 if n_samples else 0
         stats.samples += n_samples
         stats.detections += int(out["n_detections"])
         stats.good += emitted
@@ -165,20 +173,39 @@ def run_stream(
             # matches its only well-defined behavior
             continue
         if overlap:
-            ext = np.concatenate([carry, block], axis=0)
-            n_off = block.shape[0]
-            carry = ext[-halo:].copy()
+            full = np.concatenate([carry, block], axis=0)
+            if full.shape[0] >= TUNED_STREAM_MIN:
+                # Shape-tuned scan (PERF_r03, tools/bench_shard_shapes.py:
+                # within-run on the real chip, a 1024-aligned slice with
+                # n_off ≡ 784 (mod 1024) runs 1.3x faster at 2^24 than the
+                # classic len/len-239 decomposition). The carry grows to at
+                # most 1263 + 239 samples and the emitted hit stream is
+                # decomposition-invariant (tests/test_runner.py).
+                slice_len = (full.shape[0] // 1024) * 1024
+                n_off = slice_len - 240
+                ext = full[:slice_len]
+            else:
+                n_off = full.shape[0] - halo
+                ext = full
+            carry = full[n_off:].copy()
         else:
-            ext = block
             n_off = block.shape[0] - WINDOW
+            ext = block
         out_dev = decode_fn(jnp.asarray(ext), n_off, cfg.max_candidates)
         inflight.append(
             (ext, n_off, global_base, time.time(), block.shape[0], out_dev)
         )
         if overlap:
-            global_base += block.shape[0]
+            global_base += n_off
         while len(inflight) > max(pipeline_depth, 0):
             _process(inflight.popleft())
+    if overlap and carry is not None and carry.shape[0] > halo:
+        # Tail flush: the tuned decomposition can leave more than a
+        # window's worth of samples in the carry; their offsets are still
+        # scannable (windows end exactly at the stream end).
+        n_off = carry.shape[0] - halo
+        out_dev = decode_fn(jnp.asarray(carry), n_off, cfg.max_candidates)
+        inflight.append((carry, n_off, global_base, time.time(), 0, out_dev))
     while inflight:
         _process(inflight.popleft())
     return stats

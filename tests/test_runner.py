@@ -64,3 +64,57 @@ def test_short_blocks_skipped():
     got = []
     stats = run_stream(iter([np.zeros((100, 2), np.int16)]), got.append)
     assert stats.blocks == 0 and not got
+
+
+def test_tuned_stream_path_no_loss():
+    """Big blocks take the shape-tuned scan (1024-aligned slice, carry up
+    to ~1.5k samples, final tail flush) — the hit stream must still be
+    identical to the whole-capture scan, including straddlers and frames
+    in the last carry."""
+    from airjax.config import PipelineConfig
+    from airjax.pipeline import decode_capture_overlap
+    from airjax.runner import TUNED_STREAM_MIN, run_stream
+
+    chunk = TUNED_STREAM_MIN  # 65536: every block uses the tuned shape
+    n = 4 * chunk
+    offsets = [
+        100,
+        chunk - 120,  # straddles the first block boundary
+        chunk + 400,
+        2 * chunk - 64,  # lands inside the tuned carry region
+        3 * chunk - 200,
+        n - 300,  # near stream end: decoded by the tail flush
+    ]
+    iq = synth.modulate([FRAME] * len(offsets), offsets, n, seed=3)
+
+    got = []
+    stats = run_stream(_chunks(iq, chunk), got.append, overlap=True)
+    decoded = [p for p in got if p.packet == FRAME]
+    assert len(decoded) == len(offsets)
+    assert stats.good == len(offsets)
+
+    whole, _ = decode_capture_overlap(iq, PipelineConfig(block_len=n))
+    assert sorted(p.packet for p in got) == sorted(h[2] for h in whole)
+
+
+def test_tuned_stream_mixed_block_sizes():
+    """Alternating big (tuned) and small (classic) source blocks: the
+    variable-length carry must hand off seamlessly between the two paths."""
+    from airjax.runner import TUNED_STREAM_MIN, run_stream
+
+    sizes = [TUNED_STREAM_MIN, 4000, TUNED_STREAM_MIN + 1000, 999, 70000]
+    n = sum(sizes)
+    bounds = np.cumsum([0] + sizes)
+    # One frame straddling every source-block boundary, one mid-block.
+    offsets = [int(b) - 120 for b in bounds[1:-1]] + [500, n - 400]
+    iq = synth.modulate([FRAME] * len(offsets), sorted(offsets), n, seed=4)
+
+    def blocks():
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            yield iq[lo:hi]
+
+    got = []
+    stats = run_stream(blocks(), got.append, overlap=True)
+    decoded = [p for p in got if p.packet == FRAME]
+    assert len(decoded) == len(offsets)
+    assert stats.good == len(offsets)

@@ -64,3 +64,44 @@ def test_tail_mask(mesh):
     hits, _ = decode_capture_sharded(iq, mesh)
     assert all(h[1] <= n - 240 for h in hits)
     assert any(h[1] == 50 for h in hits)
+
+
+def test_tuned_block_math():
+    from airjax.parallel.halo import HALO, _halo_size, tuned_block
+
+    # Small blocks: minimal pad, classic 239 halo.
+    assert tuned_block(1000) == 1000
+    assert _halo_size(1000) == HALO
+    # Big blocks land in the ≡784 (mod 1024) class, halo becomes 240 and
+    # the per-shard slice (block + 240) is 1024-tile-aligned.
+    for per in (4096, 6000, 1 << 20, (1 << 22) - 240, (1 << 22)):
+        b = tuned_block(per)
+        assert b >= per and b - per < 1024
+        assert b % 1024 == 784
+        assert _halo_size(b) == 240
+        assert (b + 240) % 1024 == 0
+    # A block already in the class is untouched.
+    assert tuned_block((1 << 22) - 240) == (1 << 22) - 240
+
+
+def test_tuned_decomposition_matches_single_device(mesh):
+    # Force the tuned shape: per-shard >= 4096 so decode_capture_sharded
+    # pads to block ≡ 784 (mod 1024) and exchanges a 240-sample halo.
+    # Frames straddle the *tuned* shard boundaries.
+    from airjax.parallel.halo import tuned_block
+
+    n = 48000
+    block = tuned_block(-(-n // 8))
+    assert block == 6928  # 6000 rounded up into the tuned class
+    offsets = [100, block - 120, 3 * block - 200, 5 * block - 10, n - 300]
+    frames = [ID_FRAME, POS_FRAME, ID_FRAME, POS_FRAME, ID_FRAME]
+    iq = synth.modulate(frames, offsets, n, seed=21)
+
+    sharded_hits, _ = decode_capture_sharded(iq, mesh)
+    single_hits, _ = decode_capture_overlap(iq, PipelineConfig(block_len=n))
+    assert [(h[1], h[2]) for h in sharded_hits] == [
+        (h[1], h[2]) for h in single_hits
+    ]
+    got = {(h[1], h[2]) for h in sharded_hits}
+    for off, fr in zip(offsets, frames):
+        assert (off, fr) in got, f"lost frame at {off}"
