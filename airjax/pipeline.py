@@ -220,6 +220,23 @@ def decode_iq_block_extended(
 
 
 @functools.partial(jax.jit, static_argnames=("n_off", "capacity"))
+def decode_iq_block_with_fields(
+    iq: jnp.ndarray, n_off: int, capacity: int
+) -> dict[str, jnp.ndarray]:
+    """decode_iq_block + batched protocol field extraction fused into the
+    same device program: the (capacity,)-shaped field arrays ride the same
+    host fetch as the candidate dict, so the online host path never parses
+    frame bytes per packet (the reference's thread-3 consumer does,
+    src/adsb.rs:149-167 via packet.rs:25-49). Fields of invalid slots are
+    garbage; consumers index only where `good`."""
+    from airjax.protocol.fields import extract_fields
+
+    out = decode_mags_block(magnitude_u16(iq), n_off, capacity)
+    out["fields"] = extract_fields(out["frames"])
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("n_off", "capacity"))
 def decode_iq_chunks(
     iq_chunks: jnp.ndarray, n_off: int, capacity: int
 ) -> dict[str, jnp.ndarray]:

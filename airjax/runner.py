@@ -92,6 +92,17 @@ def run_stream(
     from airjax.pipeline import decode_iq_block
 
     stats = stats or StreamStats()
+    # Batched host path (PERF_r03 host keep-up): a sink exposing
+    # `on_fields(fields, idx, now)` (airjax.track.batch.BatchTracker)
+    # receives each block's device-extracted protocol fields in ONE call
+    # instead of one AdsbPacket per frame — the per-packet python path
+    # measures ~114k msgs/s, 4.4x short of the device's decoded-msgs rate.
+    # Parity (DF17) mode only; extended mode and plot_dir keep per-packet.
+    batch_fn = getattr(on_packet, "on_fields", None)
+    if batch_fn is not None and not extended and plot_dir is None:
+        from airjax.pipeline import decode_iq_block_with_fields as _decode_b
+    else:
+        batch_fn = None
     if extended:
         from airjax.extended import assemble_extended
         from airjax.pipeline import decode_iq_block_extended
@@ -111,7 +122,12 @@ def run_stream(
     global_base = -halo
     pending = np.zeros((0, 2), dtype=np.int16)
 
-    decode_fn = decode_iq_block_extended if extended else decode_iq_block
+    if extended:
+        decode_fn = decode_iq_block_extended
+    elif batch_fn is not None:
+        decode_fn = _decode_b
+    else:
+        decode_fn = decode_iq_block
     inflight: "collections.deque" = collections.deque()
 
     def _process(entry) -> None:
@@ -130,6 +146,11 @@ def run_stream(
                     continue
                 on_packet(pkt)
                 emitted += 1
+        elif batch_fn is not None:
+            good = np.asarray(out["good"])
+            if overlap:
+                good = good & (np.asarray(out["offsets"]) + base >= 0)
+            emitted = batch_fn(out["fields"], np.nonzero(good)[0], now)
         else:
             for k in np.nonzero(out["good"])[0]:
                 local = int(out["offsets"][k])
