@@ -1,6 +1,9 @@
 // airjax live aircraft display — plain-JS canvas client.
 // Consumes the same WebSocket JSON schema as the reference frontend
 // (AircraftSummary: {icao, callsign, altitude, geoPosition, lastContact}).
+// Pure logic (auto-scale, hit-test, selection, ring/table layout) lives in
+// applogic.js, which the test suite executes without node
+// (tests/test_applogic.py); this file is the DOM/canvas/WS glue.
 
 "use strict";
 
@@ -20,23 +23,20 @@ function resize() {
 window.addEventListener("resize", resize);
 resize();
 
-// Hover + click-to-expand (hit-test radius 8 px, like the reference sprite).
+// Hover + click-to-expand (hit-test radius 8 px, like the reference
+// sprite, aircraft.ts:131-145). -1 encodes "none" (applogic.js contract).
 let mouse = { x: -1, y: -1 };
-let selected = null; // icao pinned by click
-const screenPos = new Map(); // icao -> {x, y} of last draw
+let selected = -1; // icao pinned by click, -1 = none
+const screenPos = { icaos: [], xs: [], ys: [] }; // last draw's sprites
 canvas.addEventListener("mousemove", (ev) => {
   mouse = { x: ev.offsetX * devicePixelRatio, y: ev.offsetY * devicePixelRatio };
 });
 canvas.addEventListener("click", () => {
-  const hit = hitTest();
-  selected = hit !== null && hit === selected ? null : hit;
+  selected = clickSelect(hitIcao(), selected);
 });
-function hitTest() {
-  const r = 8 * devicePixelRatio;
-  for (const [icao, p] of screenPos) {
-    if (Math.hypot(p.x - mouse.x, p.y - mouse.y) <= r) return icao;
-  }
-  return null;
+function hitIcao() {
+  const i = hitTestArrays(screenPos.xs, screenPos.ys, mouse.x, mouse.y, devicePixelRatio);
+  return i === -1 ? -1 : screenPos.icaos[i];
 }
 
 function ingest(summary) {
@@ -104,27 +104,25 @@ function draw() {
   ctx.fillStyle = "#0b1020";
   ctx.fillRect(0, 0, w, h);
 
-  const withPos = [...aircraft.values()].filter((a) => a.geoPosition);
+  const all = [...aircraft.values()];
+  const withPos = all.filter((a) => a.geoPosition);
 
-  // Scale so the furthest aircraft stays on screen.
-  let scale = 0.002 * devicePixelRatio; // px per meter fallback
-  if (center && withPos.length) {
-    let rmax = 1000;
-    for (const a of withPos) {
-      const p = project(a.geoPosition.latitude, a.geoPosition.longitude);
-      rmax = Math.max(rmax, Math.hypot(p.x, p.y));
-    }
-    scale = (0.42 * Math.min(w, h)) / rmax;
-  }
+  // Scale so the furthest aircraft stays on screen (main.ts:264-277).
+  const scale = center
+    ? autoScale(
+        center.lat, center.lon,
+        withPos.map((a) => a.geoPosition.latitude),
+        withPos.map((a) => a.geoPosition.longitude),
+        w, h, devicePixelRatio)
+    : 0.002 * devicePixelRatio;
 
   // Range rings.
   if (center) {
     ctx.strokeStyle = "#1d2b50";
     ctx.fillStyle = "#5a6c9e";
     ctx.font = `${12 * devicePixelRatio}px monospace`;
-    for (const km of [10, 25, 50, 100, 200]) {
+    for (const km of visibleRingsKm(scale, w, h)) {
       const r = km * 1000 * scale;
-      if (r > Math.hypot(w, h)) break;
       ctx.beginPath();
       ctx.arc(w / 2, h / 2, r, 0, 2 * Math.PI);
       ctx.stroke();
@@ -149,8 +147,8 @@ function draw() {
     ctx.font = `${11 * devicePixelRatio}px monospace`;
     for (const f of airfields) {
       const p = project(f.lat, f.lon);
-      const x = w / 2 + p.x * scale, y = h / 2 + p.y * scale;
-      if (x < 0 || y < 0 || x > w || y > h) continue;
+      const [x, y] = toScreen(p.x, p.y, scale, w, h);
+      if (!onScreen(x, y, w, h)) continue;
       ctx.fillStyle = "#e8c34a";
       ctx.fillRect(x - 3, y - 3, 6, 6);
       ctx.fillText(f.icao, x + 6, y + 4);
@@ -159,15 +157,22 @@ function draw() {
 
   // Aircraft.
   ctx.font = `${12 * devicePixelRatio}px monospace`;
-  screenPos.clear();
-  const hover = hitTest();
-  for (const a of aircraft.values()) {
-    if (!a.geoPosition || !center) continue;
+  screenPos.icaos = [];
+  screenPos.xs = [];
+  screenPos.ys = [];
+  for (const a of withPos) {
+    if (!center) continue;
     const p = project(a.geoPosition.latitude, a.geoPosition.longitude);
-    const x = w / 2 + p.x * scale, y = h / 2 + p.y * scale;
-    screenPos.set(a.icao, { x, y });
-    const age = Date.now() / 1000 - a.seen;
-    ctx.fillStyle = age < 15 ? "#ffd75a" : "#7a6a30";
+    const [x, y] = toScreen(p.x, p.y, scale, w, h);
+    screenPos.icaos.push(a.icao);
+    screenPos.xs.push(x);
+    screenPos.ys.push(y);
+  }
+  const hoverIcao = hitIcao();
+  for (let i = 0; i < screenPos.icaos.length; i += 1) {
+    const a = aircraft.get(screenPos.icaos[i]);
+    const x = screenPos.xs[i], y = screenPos.ys[i];
+    ctx.fillStyle = isFresh(Date.now() / 1000, a.seen) ? "#ffd75a" : "#7a6a30";
     ctx.beginPath();
     ctx.arc(x, y, 4 * devicePixelRatio, 0, 2 * Math.PI);
     ctx.fill();
@@ -181,7 +186,7 @@ function draw() {
     ctx.fillText(label, x + 20, y - 20);
 
     // Expanded panel on hover or click.
-    if (a.icao === hover || a.icao === selected) {
+    if (a.icao === hoverIcao || a.icao === selected) {
       const lines = [
         `icao     ${a.icao.toString(16).padStart(6, "0")}`,
         `callsign ${a.callsign || "-"}`,
@@ -208,19 +213,19 @@ function draw() {
       ctx.strokeStyle = "#39508c";
       ctx.strokeRect(x + 22, y - 10, pw, 14 + 16 * lines.length);
       ctx.fillStyle = "#dfe7ff";
-      lines.forEach((l, i) => ctx.fillText(l, x + 30, y + 8 + 16 * i));
+      lines.forEach((l, i2) => ctx.fillText(l, x + 30, y + 8 + 16 * i2));
     }
   }
 
-  // Stats box + table of aircraft without positions.
+  // Stats box + table of aircraft without positions (main.ts:64-137).
   ctx.fillStyle = "#101a38";
-  ctx.fillRect(8, 8, 330 * devicePixelRatio, (48 + 16 * aircraft.size) * devicePixelRatio / devicePixelRatio);
+  ctx.fillRect(8, 8, 330 * devicePixelRatio, 48 + 16 * aircraft.size);
   ctx.fillStyle = "#9fb4ea";
   let ty = 26;
   ctx.fillText(`aircraft: ${aircraft.size}  msgs: ${packets}`, 16, ty);
   ty += 20;
-  for (const a of aircraft.values()) {
-    if (a.geoPosition) continue;
+  for (const i of noPositionIndices(all.map((a) => (a.geoPosition ? 1 : 0)))) {
+    const a = all[i];
     ctx.fillText(
       `${a.icao.toString(16).padStart(6, "0")} ${a.callsign || "-"} ${a.altitude}ft (no pos)`,
       16, ty);

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import math
 import pathlib
-import re
 
 import pytest
 
@@ -26,34 +25,7 @@ from airjax.ui import projection
 STATIC = pathlib.Path(__file__).parent.parent / "airjax" / "ui" / "static"
 
 
-def transpile_js(source: str) -> str:
-    """Translate projection.js's disciplined JS subset into Python source."""
-    out: list[str] = []
-    indent = 0
-    buf = ""
-    for raw in source.splitlines():
-        line = raw.strip()
-        if not line or line.startswith("//") or line == '"use strict";':
-            continue
-        buf = f"{buf} {line}" if buf else line
-        if not (buf.endswith(";") or buf.endswith("{") or buf == "}"):
-            continue  # statement continues on the next line
-        stmt, buf = buf, ""
-        if stmt == "}":
-            indent -= 1
-            continue
-        m = re.fullmatch(r"function (\w+)\((.*)\) \{", stmt)
-        if m:
-            out.append("    " * indent + f"def {m.group(1)}({m.group(2)}):")
-            indent += 1
-            continue
-        stmt = stmt.rstrip(";")
-        stmt = re.sub(r"\bconst ", "", stmt)
-        stmt = stmt.replace("Math.PI", "math.pi").replace("Math.", "math.")
-        stmt = stmt.replace(" && ", " and ")
-        out.append("    " * indent + stmt)
-    assert not buf, f"unterminated statement: {buf!r}"
-    return "\n".join(out)
+from tests.js_subset import transpile_js  # shared JS-subset translator
 
 
 @pytest.fixture(scope="module")
