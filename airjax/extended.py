@@ -114,11 +114,49 @@ def assemble_extended(
                 (off, AllCallReply(icao=icao, capability=raw[0] & 0b111, time_processed=now))
             )
 
-    # Pass 2: candidates gated on the cache — AP-addressed frames (the
-    # CRC residual IS the address) and interrogated DF11 all-calls (the
-    # AA is cleartext but PI ^ CRC is an interrogator code, so the
-    # checksum no longer independently validates).
-    for k in np.nonzero(cand_short | cand_long | cand_df11_ic)[0]:
+    results.extend(assemble_ap_candidates(out, now, cache))
+    results.sort(key=lambda t: t[0])
+    return results
+
+
+def assemble_ap_candidates(
+    out: dict, now: float, cache: IcaoCache
+) -> list[tuple[int, ExtendedPacket]]:
+    """Pass 2 of extended assembly: candidates gated on the ICAO cache —
+    AP-addressed frames (the CRC residual IS the address) and interrogated
+    DF11 all-calls (the AA is cleartext but PI ^ CRC is an interrogator
+    code, so the checksum no longer independently validates). The cache
+    must already hold every ICAO pass 1 validated. Returns packets in
+    ascending offset order.
+
+    When `out` carries `short_fields` (the device-extracted
+    airjax.protocol.shortframe.extract_short_fields arrays, produced by
+    decode_iq_block_extended_with_fields), the per-candidate field
+    decode rides those; otherwise the independent scalar host decode
+    (_short_fields_host) runs per frame — that path stays as the
+    oracle-diversity reference and is equivalence-fuzzed in
+    tests/test_extended.py."""
+    offsets = np.asarray(out["offsets"])
+    frames_raw = np.asarray(out["frames_raw"])
+    df = np.asarray(out["df"])
+    cand_df11_ic = np.asarray(out["cand_df11_ic"])
+    cand_short = np.asarray(out["cand_short_ap"])
+    cand_long = np.asarray(out["cand_long_ap"])
+    icao_short = np.asarray(out["icao_ap_short"])
+    icao_long = np.asarray(out["icao_ap_long"])
+
+    ks = np.nonzero(cand_short | cand_long | cand_df11_ic)[0]
+    if not len(ks):
+        return []
+    sf = out.get("short_fields")
+    if sf is not None:
+        sf_l = {
+            key: np.asarray(sf[key])[ks].tolist()
+            for key in ("fs", "altitude_ft", "altitude_valid", "squawk", "vs", "sl", "ri")
+        }
+
+    results: list[tuple[int, ExtendedPacket]] = []
+    for j, k in enumerate(ks.tolist()):
         off = int(offsets[k])
         raw = frames_raw[k].tobytes()
         if cand_df11_ic[k]:
@@ -139,7 +177,19 @@ def assemble_extended(
         icao = int(icao_short[k] if cand_short[k] else icao_long[k])
         if not cache.contains(icao, now):
             continue
-        fields = _short_fields_host(raw[:7])
+        if sf is not None:
+            fields = {
+                "fs": sf_l["fs"][j],
+                "altitude_ft": (
+                    sf_l["altitude_ft"][j] if sf_l["altitude_valid"][j] else None
+                ),
+                "squawk": sf_l["squawk"][j],
+                "vs": sf_l["vs"][j],
+                "sl": sf_l["sl"][j],
+                "ri": sf_l["ri"][j],
+            }
+        else:
+            fields = _short_fields_host(raw[:7])
         d = int(df[k])
         if d in (0, 16):  # ACAS air-air (altitude in the same AC13 slot)
             ra = None

@@ -237,6 +237,30 @@ def decode_iq_block_with_fields(
 
 
 @functools.partial(jax.jit, static_argnames=("n_off", "capacity"))
+def decode_iq_block_extended_with_fields(
+    iq: jnp.ndarray, n_off: int, capacity: int
+) -> dict[str, jnp.ndarray]:
+    """Extended decode + batched field extraction in one device program
+    (the extended-mode analogue of decode_iq_block_with_fields).
+    `fields` is extracted from the corrected LONG frames and is
+    meaningful only where `good_long`; `short_fields`
+    (airjax.protocol.shortframe.extract_short_fields over the raw first
+    7 bytes) serves the AP-candidate host assembly, meaningful only
+    where a cand_* class is set."""
+    from airjax.protocol.fields import extract_fields
+    from airjax.protocol.shortframe import extract_short_fields
+
+    out = decode_mags_block_extended(magnitude_u16(iq), n_off, capacity)
+    out["fields"] = extract_fields(out["frames"])
+    raw7 = out["frames_raw"][..., :7].astype(jnp.int32)
+    bits56 = ((raw7[..., None] >> jnp.arange(7, -1, -1, dtype=jnp.int32)) & 1).reshape(
+        *raw7.shape[:-1], 56
+    )
+    out["short_fields"] = extract_short_fields(bits56)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("n_off", "capacity"))
 def decode_iq_chunks(
     iq_chunks: jnp.ndarray, n_off: int, capacity: int
 ) -> dict[str, jnp.ndarray]:

@@ -112,6 +112,10 @@ def extract_fields(frames: jnp.ndarray) -> dict[str, jnp.ndarray]:
 
     return {
         "df": df,
+        # CF (DF18) / AF (DF19) subformat — the full low-3-bit field, NOT
+        # the &5 capability quirk; gates whether the ME is ADS-B-shaped
+        # (packet.py from_bytes extensions branch).
+        "subformat": b0 & 0b111,
         "capability": capability,
         "icao": icao,
         "msg_type": msg_type,

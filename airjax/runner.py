@@ -103,9 +103,19 @@ def run_stream(
         from airjax.pipeline import decode_iq_block_with_fields as _decode_b
     else:
         batch_fn = None
+    # Extended-mode batched sink (ExtendedBatchTracker.on_extended_block):
+    # fields extracted on device; dominant ADS-B classes applied in runs,
+    # everything else through the exact per-packet path, interleaved in
+    # offset order (airjax/track/batch.py).
+    ext_batch_fn = getattr(on_packet, "on_extended_block", None)
+    if not (extended and ext_batch_fn is not None and plot_dir is None):
+        ext_batch_fn = None
     if extended:
         from airjax.extended import assemble_extended
         from airjax.pipeline import decode_iq_block_extended
+        from airjax.pipeline import (
+            decode_iq_block_extended_with_fields as _decode_eb,
+        )
         from airjax.track.icao_cache import IcaoCache
 
         icao_cache = IcaoCache()
@@ -123,7 +133,7 @@ def run_stream(
     pending = np.zeros((0, 2), dtype=np.int16)
 
     if extended:
-        decode_fn = decode_iq_block_extended
+        decode_fn = _decode_eb if ext_batch_fn is not None else decode_iq_block_extended
     elif batch_fn is not None:
         decode_fn = _decode_b
     else:
@@ -140,7 +150,22 @@ def run_stream(
             capacity = min(capacity * 4, n_off)
             out = jax.device_get(decode_fn(jnp.asarray(ext), n_off, capacity))
         emitted = 0
-        if extended:
+        if extended and ext_batch_fn is not None:
+            if overlap:
+                # Mask classes to in-stream offsets (the zero-padded head
+                # of the very first block), mirroring the per-packet skip.
+                in_range = np.asarray(out["offsets"]) + base >= 0
+                out = dict(out)
+                for kk in (
+                    "good_long",
+                    "good_df11",
+                    "cand_df11_ic",
+                    "cand_short_ap",
+                    "cand_long_ap",
+                ):
+                    out[kk] = np.asarray(out[kk]) & in_range
+            emitted = ext_batch_fn(out, now, icao_cache)
+        elif extended:
             for local, pkt in assemble_extended(out, now, icao_cache):
                 if overlap and base + local < 0:
                     continue

@@ -24,7 +24,9 @@ tests/test_batch_tracker.py:
 
 from __future__ import annotations
 
+import math
 import time
+import typing
 from typing import Optional
 
 import numpy as np
@@ -32,9 +34,20 @@ import numpy as np
 from airjax.protocol.fields import (
     MSG_AIRCRAFT_ID,
     MSG_AIRCRAFT_POSITION,
+    MSG_AIRCRAFT_VELOCITY,
 )
 from airjax.track.aircraft import Aircraft, CPR_PAIR_MAX_AGE_S
 from airjax.track.cpr import GeographicPosition
+
+
+class CprStash(typing.NamedTuple):
+    """Batched-path CPR stash: a tuple (so batch-path code can unpack it)
+    that also exposes the AircraftPositionMsg attribute names, so a later
+    per-packet update on the same aircraft (extended-mode fallback classes
+    route through Aircraft.handle_packet) can pair against it."""
+
+    cpr_latitude: int
+    cpr_longitude: int
 
 
 class BatchTracker:
@@ -59,29 +72,89 @@ class BatchTracker:
         self.n_messages += 1
 
     # --- the batched path ---
-    def on_fields(self, fields: dict, idx: np.ndarray, now: float) -> int:
+    def on_fields(
+        self,
+        fields: dict,
+        idx: np.ndarray,
+        now: float,
+        extended: bool = False,
+        evict: bool = True,
+    ) -> int:
         """Apply `idx`-selected frames of a block's field arrays.
 
         `fields` is the device-fetched dict of
         airjax.protocol.fields.extract_fields; `idx` selects the
         CRC-validated slots in ascending offset (stream) order.
         Returns the number of messages applied.
+
+        `extended=True` classes by msg_class_ext (adding the TC19
+        velocity branch, whose tracker update replicates
+        AircraftVelocityMsg.from_me + Aircraft.handle_packet exactly —
+        heading/airspeed raw fields exist but the tracker, like the
+        per-packet path, only applies ground velocity and vertical
+        rate). `evict=False` defers stale eviction to the caller.
         """
         if len(idx) == 0:
             return 0
-        # Subset then convert once: python-list iteration is ~10x faster
-        # than per-element numpy scalar indexing in this loop.
-        icao_l = np.asarray(fields["icao"])[idx].tolist()
-        cls_l = np.asarray(fields["msg_class"])[idx].tolist()
-        alt_l = np.asarray(fields["altitude_ft"])[idx].tolist()
-        odd_l = np.asarray(fields["cpr_odd"])[idx].tolist()
-        clat_l = np.asarray(fields["cpr_lat"])[idx].tolist()
-        clon_l = np.asarray(fields["cpr_lon"])[idx].tolist()
-        codes = np.asarray(fields["callsign_codes"])[idx]
+        L = self._field_lists(fields, idx, extended)
+        pair_jobs: list[tuple] = []
+        self._apply(L, range(len(idx)), now, pair_jobs)
+        self._resolve_pairs(pair_jobs)
+        if evict and self.evict_after_s is not None:
+            from airjax.track.aircraft import evict_stale
 
+            evict_stale(self.aircrafts, self.evict_after_s, now=now)
+        self.n_messages += len(idx)
+        return len(idx)
+
+    @staticmethod
+    def _field_lists(fields: dict, sel, extended: bool) -> dict:
+        """Subset (by index array or slice) then convert the field arrays
+        to python lists once: python-list iteration is ~10x faster than
+        per-element numpy scalar indexing in the _apply loop."""
+
+        def take(key):
+            return np.asarray(fields[key])[sel].tolist()
+
+        L = {
+            "icao": take("icao"),
+            "cls": take("msg_class_ext" if extended else "msg_class"),
+            "alt": take("altitude_ft"),
+            "odd": take("cpr_odd"),
+            "clat": take("cpr_lat"),
+            "clon": take("cpr_lon"),
+            "codes": np.asarray(fields["callsign_codes"])[sel],
+        }
+        if extended:
+            for short, key in (
+                ("vst", "vel_subtype"),
+                ("vsa", "vel_sign_a"),
+                ("vva", "vel_val_a"),
+                ("vsb", "vel_sign_b"),
+                ("vvb", "vel_val_b"),
+                ("vrs", "vel_vr_sign"),
+                ("vrv", "vel_vr_val"),
+            ):
+                L[short] = take(key)
+        return L
+
+    def _apply(
+        self, L: dict, indices, now: float, pair_jobs: list
+    ) -> None:
+        """Apply the messages at `indices` (positions into L's lists).
+        Position pair decodes are APPENDED to pair_jobs, not resolved —
+        the caller batches them through one vectorized decode_pairs call
+        (_resolve_pairs); per-call fixed overhead on 1-2-pair batches
+        measured 2x slower than the whole per-packet path otherwise.
+        The velocity branch is unreachable for parity-mode L (msg_class
+        never carries MSG_AIRCRAFT_VELOCITY), so the vel lists may be
+        absent there."""
         aircrafts = self.aircrafts
-        pair_jobs: list[tuple] = []  # (e_lat,e_lon,o_lat,o_lon,newest_odd,icao)
-        for i, (icao, cls) in enumerate(zip(icao_l, cls_l)):
+        icao_l, cls_l = L["icao"], L["cls"]
+        alt_l, odd_l, clat_l, clon_l = L["alt"], L["odd"], L["clat"], L["clon"]
+        codes = L["codes"]
+        for i in indices:
+            icao, cls = icao_l[i], cls_l[i]
             a = aircrafts.get(icao)
             if a is None:
                 a = aircrafts[icao] = Aircraft(icao)
@@ -91,12 +164,12 @@ class BatchTracker:
                 a.on_ground = False
                 lat, lon = clat_l[i], clon_l[i]
                 if odd_l[i]:
-                    a.last_odd_packet = (lat, lon)
+                    a.last_odd_packet = CprStash(lat, lon)
                     a.last_odd_processed = now
                     other, other_t = a.last_even_packet, a.last_even_processed
                     newest_odd = True
                 else:
-                    a.last_even_packet = (lat, lon)
+                    a.last_even_packet = CprStash(lat, lon)
                     a.last_even_processed = now
                     other, other_t = a.last_odd_packet, a.last_odd_processed
                     newest_odd = False
@@ -116,28 +189,205 @@ class BatchTracker:
                     )
             elif cls == MSG_AIRCRAFT_ID:
                 a.callsign = bytes(codes[i]).decode("ascii")
+            elif cls == MSG_AIRCRAFT_VELOCITY:
+                # Exact AircraftVelocityMsg.from_me ground-velocity +
+                # vertical-rate math (packet.py:208-253) on the raw
+                # device-extracted integers.
+                a.last_contact = now
+                st = L["vst"][i]
+                if st in (1, 2):
+                    va, vb = L["vva"][i], L["vvb"][i]
+                    if va != 0 and vb != 0:
+                        scale = 4 if st == 2 else 1
+                        vx = (va - 1) * scale * (-1 if L["vsa"][i] else 1)
+                        vy = (vb - 1) * scale * (-1 if L["vsb"][i] else 1)
+                        a.ground_speed_kt = math.hypot(vx, vy)
+                        a.track_deg = math.degrees(math.atan2(vx, vy)) % 360.0
+                vr = L["vrv"][i]
+                if vr != 0:
+                    a.vertical_rate_fpm = (vr - 1) * 64 * (-1 if L["vrs"][i] else 1)
             # Unknown: upsert only (src/adsb/aircraft.rs:107-109).
 
-        if pair_jobs:
-            from airjax.track.cpr_batch import decode_pairs
+    def _resolve_pairs(self, pair_jobs: list) -> None:
+        """One vectorized CPR decode for a batch of
+        (e_lat, e_lon, o_lat, o_lon, newest_odd, icao) jobs, applied in
+        order (a later failed pairing leaves the earlier position, like
+        the per-packet path)."""
+        if not pair_jobs:
+            return
+        from airjax.track.cpr_batch import decode_pairs
 
-            arr = np.asarray([j[:4] for j in pair_jobs], dtype=np.int64)
-            newest = np.asarray([j[4] for j in pair_jobs], dtype=bool)
-            lat, lon, valid = decode_pairs(
-                arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3], newest
+        arr = np.asarray([j[:4] for j in pair_jobs], dtype=np.int64)
+        newest = np.asarray([j[4] for j in pair_jobs], dtype=bool)
+        lat, lon, valid = decode_pairs(
+            arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3], newest
+        )
+        aircrafts = self.aircrafts
+        for j, la, lo, ok in zip(pair_jobs, lat, lon, valid):
+            if ok:
+                aircrafts[j[5]].geo_position = GeographicPosition(
+                    float(la), float(lo)
+                )
+
+
+class ExtendedBatchTracker(BatchTracker):
+    """Extended-mode batched sink: a whole extended decode block's frames
+    in one `on_extended_block` call.
+
+    The batched fast path covers the dominant message classes — ADS-B
+    AircraftID (TC1-4), airborne position (TC9-18) and velocity (TC19)
+    from DF17 / DF18 CF 0,1,2,5,6 / DF19 AF 0 — via the device-extracted
+    field arrays; everything else (TC0/5-8/20-22/28/29/31, non-ADS-B ME,
+    DF11 all-calls, cache-gated AP candidates) falls back to the exact
+    per-packet path. Fallbacks are interleaved with batched runs in
+    ascending offset order, so the tracker state is IDENTICAL to feeding
+    assemble_extended's sorted packet list through
+    handle_extended_update one at a time (fuzzed in
+    tests/test_batch_extended.py).
+    """
+
+    def __init__(
+        self,
+        evict_after_s: Optional[float] = None,
+        ref_position: Optional[tuple] = None,
+    ):
+        super().__init__(evict_after_s)
+        self.ref_position = ref_position
+
+    def on_extended_block(self, out: dict, now: float, cache) -> int:
+        """Apply one extended device dict (must carry `fields`,
+        i.e. produced by decode_iq_block_extended_with_fields). `cache`
+        is the stream's IcaoCache. Returns messages applied.
+
+        CPR pair decodes are deferred across batched runs and resolved in
+        ONE vectorized call at block end; a fallback packet whose ICAO has
+        a deferred pair pending forces that aircraft's pairs to resolve
+        first, so geo_position writes still land in strict offset order
+        (a later fallback surface/GNSS fix must win over an earlier
+        deferred airborne pair, and vice versa)."""
+        from airjax.extended import assemble_ap_candidates, handle_extended_update
+        from airjax.protocol.packet import (
+            AdsbPacket,
+            AircraftPositionMsg,
+            SurfacePositionMsg,
+        )
+        from airjax.track.aircraft import Aircraft
+
+        good_long = np.asarray(out["good_long"])
+        good_df11 = np.asarray(out["good_df11"])
+        k_pass1 = np.nonzero(good_long | good_df11)[0]
+        fields = out["fields"]
+        frames = np.asarray(out["frames"])
+        frames_raw = np.asarray(out["frames_raw"])
+        offsets = np.asarray(out["offsets"])
+
+        # Whole-block python lists once (per-element numpy scalar
+        # indexing in the walk below measured ~10x slower).
+        kmax = int(k_pass1[-1]) + 1 if len(k_pass1) else 0
+        k1_l = k_pass1.tolist()
+        gl_l = good_long[k_pass1].tolist()
+        off1_l = offsets[k_pass1].tolist()
+        df_l = np.asarray(fields["df"])[k_pass1].tolist()
+        sub_l = np.asarray(fields["subformat"])[k_pass1].tolist()
+        cls_l = np.asarray(fields["msg_class_ext"])[k_pass1].tolist()
+        raw_icao = (
+            (frames_raw[k_pass1, 1].astype(np.int64) << 16)
+            | (frames_raw[k_pass1, 2].astype(np.int64) << 8)
+            | frames_raw[k_pass1, 3]
+        )
+        icao1_l = np.where(
+            good_long[k_pass1], np.asarray(fields["icao"])[k_pass1], raw_icao
+        ).tolist()
+
+        # Seed the acceptance cache with every pass-1 ICAO first (same
+        # visibility as assemble_extended: pass 2 gating sees the whole
+        # block's validated addresses).
+        for ic in icao1_l:
+            cache.add(ic, now)
+        pass2 = assemble_ap_candidates(out, now, cache)
+
+        L = self._field_lists(fields, slice(0, kmax), True) if kmax else None
+        aircrafts = self.aircrafts
+        applied = 0
+        run: list[int] = []  # absolute slot indices into L
+        pending: list[tuple] = []  # deferred pair jobs (…, icao)
+        pending_icaos: set[int] = set()
+
+        def flush_run() -> None:
+            nonlocal applied
+            if run:
+                before = len(pending)
+                self._apply(L, run, now, pending)
+                applied += len(run)
+                for j in pending[before:]:
+                    pending_icaos.add(j[5])
+                run.clear()
+
+        def apply_fallback(pkt) -> None:
+            nonlocal pending, applied
+            # Only a position-carrying AdsbPacket can write geo_position;
+            # every other fallback kind (AllCall/Surveillance/Acas
+            # replies, status/velocity/unknown MEs) commutes with the
+            # deferred pair decodes.
+            if (
+                pkt.icao in pending_icaos
+                and isinstance(pkt, AdsbPacket)
+                and isinstance(pkt.msg, (AircraftPositionMsg, SurfacePositionMsg))
+            ):
+                mine = [j for j in pending if j[5] == pkt.icao]
+                pending = [j for j in pending if j[5] != pkt.icao]
+                pending_icaos.discard(pkt.icao)
+                self._resolve_pairs(mine)
+            handle_extended_update(
+                pkt, aircrafts, ref_position=self.ref_position
             )
-            for j, la, lo, ok in zip(pair_jobs, lat, lon, valid):
-                if ok:
-                    aircrafts[j[5]].geo_position = GeographicPosition(
-                        float(la), float(lo)
+            applied += 1
+
+        # Merge-walk pass-1 slots and pass-2 packets in ascending offset
+        # order (exactly assemble_extended's sorted emission order).
+        p2, n2 = 0, len(pass2)
+        for j1 in range(len(k1_l)):
+            off = off1_l[j1]
+            while p2 < n2 and pass2[p2][0] < off:
+                flush_run()
+                apply_fallback(pass2[p2][1])
+                p2 += 1
+            if gl_l[j1]:
+                d, s = df_l[j1], sub_l[j1]
+                adsb_me = (
+                    d == 17
+                    or (d == 18 and s in (0, 1, 2, 5, 6))
+                    or (d == 19 and s == 0)
+                )
+                if adsb_me and cls_l[j1] in (
+                    MSG_AIRCRAFT_ID,
+                    MSG_AIRCRAFT_POSITION,
+                    MSG_AIRCRAFT_VELOCITY,
+                ):
+                    run.append(k1_l[j1])
+                    continue
+                flush_run()
+                apply_fallback(
+                    AdsbPacket.from_bytes(
+                        frames[k1_l[j1]].tobytes(), now, extensions=True
                     )
+                )
+            else:  # DF11 all-call: upsert + last_contact (extended.py)
+                flush_run()  # keep dict insertion order == offset order
+                a = aircrafts.setdefault(icao1_l[j1], Aircraft(icao1_l[j1]))
+                a.last_contact = now
+                applied += 1
+        flush_run()
+        for _off, pkt in pass2[p2:]:
+            apply_fallback(pkt)
+        self._resolve_pairs(pending)
 
         if self.evict_after_s is not None:
             from airjax.track.aircraft import evict_stale
 
             evict_stale(aircrafts, self.evict_after_s, now=now)
-        self.n_messages += len(idx)
-        return len(idx)
+        self.n_messages += applied
+        return applied
 
 
 def mirror_stash(aircraft: Aircraft) -> None:

@@ -96,3 +96,33 @@ def test_extended_still_decodes_df17_identically():
     pkts = [p for _, p in _decode_ext(iq)]
     ours = [p for p in pkts if isinstance(p, AdsbPacket)]
     assert any(p.packet == DF17 for p in ours)
+
+
+def test_short_fields_host_vs_device_fuzz():
+    """assemble_ap_candidates now rides the device-extracted short_fields
+    arrays when present (decode_iq_block_extended_with_fields); the scalar
+    host decode (_short_fields_host) stays as the independent oracle. On
+    ANY 7-byte frame the two must agree on every field the assembler
+    consumes (fs, altitude incl. None-ness, squawk, vs, sl, ri)."""
+    import jax
+
+    from airjax.extended import _short_fields_host
+
+    rng = np.random.default_rng(42)
+    frames = rng.integers(0, 256, size=(4096, 7), dtype=np.uint8)
+    # Bias some frames toward structured altitudes (Q=1 and Gillham) so
+    # the valid paths are exercised, not just random garbage.
+    for i in range(0, 1024, 2):
+        alt = int(rng.integers(0, 500)) * 100
+        f = shortframe.make_df4(
+            int(rng.integers(0, 1 << 24)), alt, gillham=bool(i % 4 == 0)
+        )
+        frames[i] = np.frombuffer(f[:7], np.uint8)
+    bits = np.unpackbits(frames, axis=1)
+    dev = jax.device_get(shortframe.extract_short_fields(jnp.asarray(bits)))
+    for i in range(len(frames)):
+        host = _short_fields_host(frames[i].tobytes())
+        dev_alt = int(dev["altitude_ft"][i]) if bool(dev["altitude_valid"][i]) else None
+        assert dev_alt == host["altitude_ft"], (i, frames[i].tobytes().hex())
+        for key in ("fs", "squawk", "vs", "sl", "ri"):
+            assert int(dev[key][i]) == host[key], (key, i, frames[i].tobytes().hex())

@@ -71,6 +71,110 @@ def build_stream(n_messages: int, n_aircraft: int = 64) -> np.ndarray:
     return np.frombuffer(b"".join(seq), np.uint8).reshape(n_messages, 14)
 
 
+def build_extended_block(n_aircraft: int = 64):
+    """One realistic extended-mode decode block: per aircraft an ID, an
+    even+odd position pair and a TC19 velocity (the batched fast-path
+    classes), plus DF11 all-calls and cache-gated DF4 surveillance
+    replies (per-packet fallback classes) for half the fleet. Returns the
+    device dict of decode_iq_block_extended_with_fields."""
+    from airjax.pipeline import decode_iq_block_extended_with_fields
+    from airjax.protocol import shortframe
+
+    frames = []
+    for a in range(n_aircraft):
+        icao = 0x100000 + a
+        frames.append(synth.make_df17(icao, synth.make_id_me(f"AC{a:05d}")))
+        frames.append(
+            synth.make_df17(
+                icao,
+                synth.make_position_me(
+                    tc=11, altitude_ft=10000 + a * 25,
+                    cpr_lat=93000, cpr_lon=51372, odd=False,
+                ),
+            )
+        )
+        frames.append(
+            synth.make_df17(
+                icao,
+                synth.make_position_me(
+                    tc=11, altitude_ft=10000 + a * 25,
+                    cpr_lat=74158, cpr_lon=50194, odd=True,
+                ),
+            )
+        )
+        frames.append(
+            synth.make_df17(
+                icao,
+                synth.make_velocity_me(
+                    ew_kt=100 + a, ns_kt=-50, vertical_rate_fpm=640
+                ),
+            )
+        )
+        if a % 2 == 0:
+            frames.append(shortframe.make_df11(icao))
+            frames.append(shortframe.make_df4(icao, 10000 + a * 25))
+    spacing = 400
+    n = ((len(frames) * spacing + 2048) // 1024) * 1024
+    iq = synth.modulate(
+        frames, [100 + i * spacing for i in range(len(frames))], n, seed=3
+    )
+    out = jax.device_get(
+        decode_iq_block_extended_with_fields(
+            jnp.asarray(iq), n - 240, 2048
+        )
+    )
+    n_good = int(np.sum(np.asarray(out["good_long"]) | np.asarray(out["good_df11"])))
+    assert n_good >= len(frames) - n_aircraft, (n_good, len(frames))
+    return out, len(frames)
+
+
+def run_extended(M: int) -> dict:
+    """Extended-mode keep-up: assemble_extended + handle_extended_update
+    per packet vs ExtendedBatchTracker.on_extended_block per block, same
+    device dict stream."""
+    from airjax.extended import assemble_extended, handle_extended_update
+    from airjax.track.batch import ExtendedBatchTracker
+    from airjax.track.icao_cache import IcaoCache
+
+    out, per_block = build_extended_block()
+    n_blocks = max(M // per_block, 1)
+
+    aircrafts = {}
+    cache = IcaoCache()
+    t0 = time.perf_counter()
+    t = 1000.0
+    n_pkt = 0
+    for _ in range(n_blocks):
+        for _off, pkt in assemble_extended(out, t, cache):
+            handle_extended_update(pkt, aircrafts)
+            n_pkt += 1
+        t += 0.5
+    dt_pkt = time.perf_counter() - t0
+
+    bt = ExtendedBatchTracker()
+    cache_b = IcaoCache()
+    t0 = time.perf_counter()
+    t = 1000.0
+    n_bat = 0
+    for _ in range(n_blocks):
+        n_bat += bt.on_extended_block(out, t, cache_b)
+        t += 0.5
+    dt_bat = time.perf_counter() - t0
+
+    assert n_pkt == n_bat and len(aircrafts) == len(bt.aircrafts)
+    geo_pkt = sum(1 for a in aircrafts.values() if a.geo_position)
+    geo_bat = sum(1 for a in bt.aircrafts.values() if a.geo_position)
+    assert geo_pkt == geo_bat
+    return {
+        "extended_messages": n_pkt,
+        "extended_per_packet_msgs_per_s": round(n_pkt / dt_pkt),
+        "extended_batched_msgs_per_s": round(n_bat / dt_bat),
+        "extended_speedup": round(dt_pkt / dt_bat, 2),
+        "extended_aircraft": len(aircrafts),
+        "extended_with_geo": geo_pkt,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--messages", type=int, default=200_000)
@@ -114,6 +218,7 @@ def main():
         "aircraft": len(aircrafts),
         "with_geo": geo_pkt,
     }
+    out.update(run_extended(M))
     print(json.dumps(out))
 
 
