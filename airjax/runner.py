@@ -145,6 +145,7 @@ def run_stream(
         out = jax.device_get(out_dev)
         # Adaptive overflow regrow (synchronous — overflow is rare and
         # dropped detections would silently lose frames).
+        overflowed = bool(out["overflow"])
         capacity = cfg.max_candidates
         while bool(out["overflow"]) and capacity < n_off:
             capacity = min(capacity * 4, n_off)
@@ -202,7 +203,11 @@ def run_stream(
         stats.detections += int(out["n_detections"])
         stats.good += emitted
         stats.recovered += int(np.sum(out["recovered"]))
-        stats.overflow_blocks += bool(out["overflow"])
+        # Counts blocks that REQUIRED a regrow (the regrown result's own
+        # flag is clear by construction, so the final flag would always
+        # read 0 — the interesting event is that the initial capacity
+        # was insufficient).
+        stats.overflow_blocks += overflowed
 
     for block in Prefetcher(source, depth=prefetch_depth):
         block = np.asarray(block, dtype=np.int16)

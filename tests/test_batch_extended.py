@@ -317,3 +317,51 @@ def test_run_stream_extended_batch_sink_equals_per_packet():
     assert a.altitude == 2675  # the DF4 surveillance reply applied last
     assert a.ground_speed_kt == pytest.approx(math.hypot(55, -10))
     assert a.geo_position is not None
+
+
+def test_extended_batch_sink_boundary_straddle_and_regrow():
+    """Multi-chunk extended stream through the batched sink: frames
+    straddling every chunk boundary decode exactly once and tracker
+    state matches the per-packet sink; a small candidate capacity forces
+    the adaptive overflow regrow loop through
+    decode_iq_block_extended_with_fields."""
+    from airjax.config import PipelineConfig
+    from airjax.runner import run_stream
+
+    chunk = 4000
+    n = 4 * chunk
+    mk = lambda i: [
+        synth.make_df17(ICAOS[i % len(ICAOS)], synth.make_id_me(f"STRAD{i}")),
+        shortframe.make_df11(ICAOS[i % len(ICAOS)]),
+        shortframe.make_df4(ICAOS[i % len(ICAOS)], 8000 + 25 * i),
+    ][i % 3]
+    # Straddle every boundary plus interior frames; the first chunk is
+    # packed densely enough (6 frames > capacity 4) to trip the regrow.
+    offsets = [100, 700, 1300, 1900, 2500, chunk - 120, chunk + 600,
+               2 * chunk - 100, 2 * chunk + 500, 3 * chunk - 60,
+               3 * chunk + 900, n - 400]
+    frames = [mk(i) for i in range(len(offsets))]
+    iq = synth.modulate(frames, offsets, n, seed=11)
+
+    def chunks():
+        for i in range(0, n, chunk):
+            yield iq[i : i + chunk]
+
+    cfg = PipelineConfig(max_candidates=4)  # forces regrow (8 frames/blk)
+    bt = ExtendedBatchTracker()
+    stats_b = run_stream(chunks(), bt, cfg=cfg, overlap=True, extended=True)
+
+    per: dict = {}
+    stats_p = run_stream(
+        chunks(),
+        lambda p: handle_extended_update(p, per),
+        cfg=cfg,
+        overlap=True,
+        extended=True,
+    )
+    # len-1: the DF4 at offset 1300 belongs to an ICAO (0xABCDEF) with
+    # no CRC-validated frame in sight, so the acceptance cache gates it
+    # off — in BOTH paths.
+    assert stats_b.good == stats_p.good == len(offsets) - 1
+    assert stats_b.overflow_blocks == stats_p.overflow_blocks >= 1
+    _assert_equal_state(per, bt.aircrafts)

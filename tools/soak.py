@@ -91,15 +91,82 @@ def sdr_soak(seconds: float) -> int:
     return 0 if d["boundary_loss"] == 0 and d["blocks"] > 0 else 1
 
 
+def extended_boundary_stream(block: int, stop_flag: dict, seed: int = 0):
+    """Extended-mode variant of boundary_stream: per block a mid-block
+    DF17, a mid-block DF11 all-call (short-frame class) and a DF17
+    straddling the boundary. Expected decodes after B blocks: 3B - 1."""
+    from airjax.protocol import shortframe
+
+    df17 = synth.make_df17(0x7C6B30, synth.make_id_me("SOAKEXT"))
+    df11 = shortframe.make_df11(0x40621D)
+    window = 240
+    tail = None
+    b = 0
+    while not stop_flag.get("stop"):
+        seg = synth.modulate(
+            [df17, df11, df17],
+            [2000, 6000, block - 120],
+            block + window,
+            seed=seed + b,
+        )
+        out = seg[:block].copy()
+        if tail is not None:
+            out[:window] = tail
+        tail = seg[block : block + window].copy()
+        yield out
+        b += 1
+
+
+def extended_soak(seconds: float, block: int) -> int:
+    """Soak the extended-mode BATCHED host path (ExtendedBatchTracker ->
+    on_extended_block): continuous stream, zero boundary loss, tracker
+    consistency (both ICAOs present, callsign applied)."""
+    from airjax.track.batch import ExtendedBatchTracker
+
+    stop = {}
+    t0 = time.time()
+    bt = ExtendedBatchTracker()
+
+    def timed_stream():
+        for blk in extended_boundary_stream(block, stop):
+            if time.time() - t0 > seconds:
+                return
+            yield blk
+
+    stats = run_stream(timed_stream(), bt, overlap=True, extended=True)
+    d = stats.as_dict()
+    expected = 3 * d["blocks"] - 1  # final straddler never completes
+    ok_tracker = (
+        set(bt.aircrafts) == {0x7C6B30, 0x40621D}
+        and bt.aircrafts[0x7C6B30].callsign == "SOAKEXT_"
+    )
+    d.update(
+        mode="extended-batched",
+        seconds=round(time.time() - t0, 1),
+        frames_decoded=bt.n_messages,
+        frames_expected=expected,
+        boundary_loss=max(0, expected - bt.n_messages),
+        tracker_ok=ok_tracker,
+    )
+    print(json.dumps(d))
+    return 0 if d["boundary_loss"] == 0 and ok_tracker else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--seconds", type=float, default=60.0)
     p.add_argument("--block", type=int, default=200000)
     p.add_argument("--sdr", action="store_true", help="soak the live SdrSource path")
+    p.add_argument(
+        "--extended", action="store_true",
+        help="soak the extended-mode batched host path",
+    )
     args = p.parse_args(argv)
 
     if args.sdr:
         return sdr_soak(args.seconds)
+    if args.extended:
+        return extended_soak(args.seconds, args.block)
 
     stop = {}
     frames_seen = []
