@@ -151,6 +151,12 @@ def _cmd_adsb(args) -> int:
         return 2
     if args.ref_lat is not None:
         ref_position = (args.ref_lat, args.ref_lon)
+    if args.batched and args.mode != "web":
+        print(
+            "warning: --batched applies to web mode only (stream prints and "
+            "the TUI queues per packet)",
+            file=sys.stderr,
+        )
 
     # --- tracker checkpoint/resume (extension; see airjax.track.state) ---
     restored = None
@@ -223,9 +229,14 @@ def _cmd_adsb(args) -> int:
         display.start_background()
         if restored:
             display.aircrafts.update(restored)
+        sink = (
+            display.batched_sink(extended=args.extended)
+            if args.batched
+            else display.on_packet
+        )
         try:
             stats = run_stream(
-                source, display.on_packet, overlap=overlap, extended=args.extended
+                source, sink, overlap=overlap, extended=args.extended
             )
             print("source exhausted; web server still running (Ctrl-C to quit)")
             import time
@@ -283,6 +294,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--extended",
         action="store_true",
         help="decode all Mode S downlink formats (DF4/5/11/20/21), not just DF17",
+    )
+    adsb.add_argument(
+        "--batched",
+        action="store_true",
+        help="web mode: batched tracker sink + one WS broadcast per "
+        "touched aircraft per block (4.1x/2.5x host throughput; the "
+        "reference's per-packet broadcast granularity is the default)",
     )
     adsb.add_argument(
         "--state", default=None, metavar="FILE",

@@ -63,6 +63,11 @@ class BatchTracker:
         self.aircrafts: dict[int, Aircraft] = {}
         self.evict_after_s = evict_after_s
         self.n_messages = 0
+        # Optional per-block hook: called with the set of ICAOs whose
+        # aircraft were touched by the block just applied (UI sinks
+        # broadcast one summary per touched aircraft per block instead
+        # of one per message — see airjax.ui.web.WebDisplay.batched_sink).
+        self.on_applied: Optional[callable] = None
 
     # --- per-packet fallback (so the sink is drop-in for run_stream) ---
     def __call__(self, packet) -> None:
@@ -70,6 +75,8 @@ class BatchTracker:
 
         handle_extended_update(packet, self.aircrafts)
         self.n_messages += 1
+        if self.on_applied is not None:
+            self.on_applied({packet.icao})
 
     # --- the batched path ---
     def on_fields(
@@ -105,6 +112,8 @@ class BatchTracker:
 
             evict_stale(self.aircrafts, self.evict_after_s, now=now)
         self.n_messages += len(idx)
+        if self.on_applied is not None:
+            self.on_applied(set(L["icao"]))
         return len(idx)
 
     @staticmethod
@@ -387,6 +396,10 @@ class ExtendedBatchTracker(BatchTracker):
 
             evict_stale(aircrafts, self.evict_after_s, now=now)
         self.n_messages += applied
+        if self.on_applied is not None and applied:
+            # pass2 carries only cache-accepted packets, all of which
+            # were applied; pass-1 slots are all in icao1_l.
+            self.on_applied(set(icao1_l) | {p.icao for _o, p in pass2})
         return applied
 
 

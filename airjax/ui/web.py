@@ -133,6 +133,63 @@ class WebDisplay:
                 for a in self.aircrafts.values()
             ]
 
+    # --- batched pipeline sink (extension; opt-in via `adsb --batched`) ---
+    def batched_sink(self, extended: bool = False):
+        """High-throughput sink: tracker updates run through the batched
+        block path (airjax.track.batch, measured 4.1x / 2.5x the
+        per-packet host rate) against THIS display's aircraft table, and
+        the WS broadcast coalesces to ONE summary per touched aircraft
+        per decode block. The reference broadcasts one summary per packet
+        (web.rs:117-129) — that granularity stays the default for parity,
+        but cannot keep up with the device's ~500k decoded msgs/s.
+        Clients (app.js ingest keyed by ICAO) are granularity-agnostic."""
+        from airjax.track.batch import BatchTracker, ExtendedBatchTracker
+
+        if extended:
+            inner = ExtendedBatchTracker(
+                evict_after_s=self.evict_after_s, ref_position=self.ref_position
+            )
+        else:
+            inner = BatchTracker(evict_after_s=self.evict_after_s)
+        inner.aircrafts = self.aircrafts  # share: snapshot()/WS see updates
+        display = self
+
+        def broadcast_applied(icaos):
+            # Called by the tracker with display._lock ALREADY HELD (the
+            # wrapper below takes it around every update), so no locking
+            # here; the broadcast fan-out has its own lock.
+            for icao in sorted(icaos):
+                a = display.aircrafts.get(icao)
+                if a is None:
+                    continue  # evicted within the same block
+                display.broadcast.send(
+                    json.dumps(a.get_summary().to_json(extended=display.extended_schema))
+                )
+
+        inner.on_applied = broadcast_applied
+
+        class LockedSink:
+            """run_stream-facing facade: every tracker mutation happens
+            under the display lock so HTTP snapshot() never races the
+            decode thread."""
+
+            aircrafts = self.aircrafts
+
+            def __call__(self, packet):
+                with display._lock:
+                    inner(packet)
+
+            def on_fields(self, *a, **k):
+                with display._lock:
+                    return inner.on_fields(*a, **k)
+
+            if extended:
+                def on_extended_block(self, *a, **k):
+                    with display._lock:
+                        return inner.on_extended_block(*a, **k)
+
+        return LockedSink()
+
     # --- server ---
     def serve_forever(self) -> None:
         display = self
