@@ -675,6 +675,16 @@ class AcasReply:
         return "\n".join(lines) + "\n"
 
 
+# ADS-B-shaped ME gating for non-DF17 extended squitters (extension):
+# DF18 CF values whose ME uses the DF17 layout (0/1/6 ADS-B, 2/5
+# fine-format TIS-B) and DF19 AF values (military; only 0). Shared with
+# the batched tracker's fast-path classification
+# (airjax.track.batch.ExtendedBatchTracker) so the two sites cannot
+# drift.
+DF18_ADSB_CF = frozenset({0, 1, 2, 5, 6})
+DF19_ADSB_AF = frozenset({0})
+
+
 @dataclasses.dataclass
 class AdsbPacket:
     packet: bytes  # full 14 frame bytes
@@ -710,9 +720,9 @@ class AdsbPacket:
             df = packet[0] >> 3
             sub = packet[0] & 0b111  # CF (DF18) / AF (DF19)
             if df == 18:
-                me_is_adsb = sub in (0, 1, 2, 5, 6)
+                me_is_adsb = sub in DF18_ADSB_CF
             elif df == 19:
-                me_is_adsb = sub == 0
+                me_is_adsb = sub in DF19_ADSB_AF
         if not me_is_adsb:
             msg = UnknownMsg(raw_msg=packet[4:])
         elif 1 <= msg_type <= 4:

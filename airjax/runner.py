@@ -152,20 +152,14 @@ def run_stream(
             out = jax.device_get(decode_fn(jnp.asarray(ext), n_off, capacity))
         emitted = 0
         if extended and ext_batch_fn is not None:
-            if overlap:
-                # Mask classes to in-stream offsets (the zero-padded head
-                # of the very first block), mirroring the per-packet skip.
-                in_range = np.asarray(out["offsets"]) + base >= 0
-                out = dict(out)
-                for kk in (
-                    "good_long",
-                    "good_df11",
-                    "cand_df11_ic",
-                    "cand_short_ap",
-                    "cand_long_ap",
-                ):
-                    out[kk] = np.asarray(out[kk]) & in_range
-            emitted = ext_batch_fn(out, now, icao_cache)
+            # min_offset masks application (not cache seeding) of the
+            # zero-padded head of the very first block, exactly like the
+            # per-packet skip below — which also seeds the cache first
+            # (assemble_extended pass 1).
+            emitted = ext_batch_fn(
+                out, now, icao_cache,
+                min_offset=(-base if overlap and base < 0 else None),
+            )
         elif extended:
             for local, pkt in assemble_extended(out, now, icao_cache):
                 if overlap and base + local < 0:

@@ -73,41 +73,39 @@ class BatchTracker:
     def __call__(self, packet) -> None:
         from airjax.extended import handle_extended_update
 
-        handle_extended_update(packet, self.aircrafts)
+        handle_extended_update(
+            packet,
+            self.aircrafts,
+            ref_position=getattr(self, "ref_position", None),
+        )
         self.n_messages += 1
+        if self.evict_after_s is not None:
+            from airjax.track.aircraft import evict_stale
+
+            evict_stale(
+                self.aircrafts, self.evict_after_s, now=packet.time_processed
+            )
         if self.on_applied is not None:
             self.on_applied({packet.icao})
 
     # --- the batched path ---
-    def on_fields(
-        self,
-        fields: dict,
-        idx: np.ndarray,
-        now: float,
-        extended: bool = False,
-        evict: bool = True,
-    ) -> int:
+    def on_fields(self, fields: dict, idx: np.ndarray, now: float) -> int:
         """Apply `idx`-selected frames of a block's field arrays.
 
         `fields` is the device-fetched dict of
         airjax.protocol.fields.extract_fields; `idx` selects the
         CRC-validated slots in ascending offset (stream) order.
-        Returns the number of messages applied.
-
-        `extended=True` classes by msg_class_ext (adding the TC19
-        velocity branch, whose tracker update replicates
-        AircraftVelocityMsg.from_me + Aircraft.handle_packet exactly —
-        heading/airspeed raw fields exist but the tracker, like the
-        per-packet path, only applies ground velocity and vertical
-        rate). `evict=False` defers stale eviction to the caller.
+        Returns the number of messages applied. Parity (DF17) classing;
+        the extended-mode block path is ExtendedBatchTracker's
+        on_extended_block, which drives _field_lists/_apply directly.
         """
         if len(idx) == 0:
             return 0
-        L = self._field_lists(fields, idx, extended)
+        L = self._field_lists(fields, idx, extended=False)
         pair_jobs: list[tuple] = []
         self._apply(L, range(len(idx)), now, pair_jobs)
         self._resolve_pairs(pair_jobs)
-        if evict and self.evict_after_s is not None:
+        if self.evict_after_s is not None:
             from airjax.track.aircraft import evict_stale
 
             evict_stale(self.aircrafts, self.evict_after_s, now=now)
@@ -263,10 +261,18 @@ class ExtendedBatchTracker(BatchTracker):
         super().__init__(evict_after_s)
         self.ref_position = ref_position
 
-    def on_extended_block(self, out: dict, now: float, cache) -> int:
+    def on_extended_block(
+        self, out: dict, now: float, cache, min_offset: int | None = None
+    ) -> int:
         """Apply one extended device dict (must carry `fields`,
         i.e. produced by decode_iq_block_extended_with_fields). `cache`
         is the stream's IcaoCache. Returns messages applied.
+
+        `min_offset` (overlap streams: the zero-padded head of the very
+        first block) suppresses APPLICATION of any slot below it while
+        still seeding the acceptance cache with its ICAO — exactly the
+        per-packet path's split, where assemble_extended registers ICAOs
+        in pass 1 and the runner skips only the emission.
 
         CPR pair decodes are deferred across batched runs and resolved in
         ONE vectorized call at block end; a fallback packet whose ICAO has
@@ -276,6 +282,8 @@ class ExtendedBatchTracker(BatchTracker):
         deferred airborne pair, and vice versa)."""
         from airjax.extended import assemble_ap_candidates, handle_extended_update
         from airjax.protocol.packet import (
+            DF18_ADSB_CF,
+            DF19_ADSB_AF,
             AdsbPacket,
             AircraftPositionMsg,
             SurfacePositionMsg,
@@ -314,10 +322,13 @@ class ExtendedBatchTracker(BatchTracker):
         for ic in icao1_l:
             cache.add(ic, now)
         pass2 = assemble_ap_candidates(out, now, cache)
+        if min_offset is not None:
+            pass2 = [t for t in pass2 if t[0] >= min_offset]
 
         L = self._field_lists(fields, slice(0, kmax), True) if kmax else None
         aircrafts = self.aircrafts
         applied = 0
+        touched: set[int] = set()  # ICAOs actually applied (on_applied)
         run: list[int] = []  # absolute slot indices into L
         pending: list[tuple] = []  # deferred pair jobs (…, icao)
         pending_icaos: set[int] = set()
@@ -326,6 +337,7 @@ class ExtendedBatchTracker(BatchTracker):
             nonlocal applied
             if run:
                 before = len(pending)
+                touched.update(L["icao"][k] for k in run)
                 self._apply(L, run, now, pending)
                 applied += len(run)
                 for j in pending[before:]:
@@ -350,6 +362,7 @@ class ExtendedBatchTracker(BatchTracker):
             handle_extended_update(
                 pkt, aircrafts, ref_position=self.ref_position
             )
+            touched.add(pkt.icao)
             applied += 1
 
         # Merge-walk pass-1 slots and pass-2 packets in ascending offset
@@ -361,12 +374,14 @@ class ExtendedBatchTracker(BatchTracker):
                 flush_run()
                 apply_fallback(pass2[p2][1])
                 p2 += 1
+            if min_offset is not None and off < min_offset:
+                continue  # cache-seeded above, but never applied
             if gl_l[j1]:
                 d, s = df_l[j1], sub_l[j1]
                 adsb_me = (
                     d == 17
-                    or (d == 18 and s in (0, 1, 2, 5, 6))
-                    or (d == 19 and s == 0)
+                    or (d == 18 and s in DF18_ADSB_CF)
+                    or (d == 19 and s in DF19_ADSB_AF)
                 )
                 if adsb_me and cls_l[j1] in (
                     MSG_AIRCRAFT_ID,
@@ -385,6 +400,7 @@ class ExtendedBatchTracker(BatchTracker):
                 flush_run()  # keep dict insertion order == offset order
                 a = aircrafts.setdefault(icao1_l[j1], Aircraft(icao1_l[j1]))
                 a.last_contact = now
+                touched.add(icao1_l[j1])
                 applied += 1
         flush_run()
         for _off, pkt in pass2[p2:]:
@@ -397,9 +413,7 @@ class ExtendedBatchTracker(BatchTracker):
             evict_stale(aircrafts, self.evict_after_s, now=now)
         self.n_messages += applied
         if self.on_applied is not None and applied:
-            # pass2 carries only cache-accepted packets, all of which
-            # were applied; pass-1 slots are all in icao1_l.
-            self.on_applied(set(icao1_l) | {p.icao for _o, p in pass2})
+            self.on_applied(touched)
         return applied
 
 

@@ -53,6 +53,10 @@ _PLAIN_ATTRS = (
 def _msg_to_json(msg) -> Optional[dict]:
     if msg is None:
         return None
+    if isinstance(msg, tuple):
+        # Batched-path stash (airjax.track.batch.CprStash or a plain
+        # (lat, lon) tuple): only the CPR pair exists.
+        return {"cpr": [msg[0], msg[1]]}
     d = dataclasses.asdict(msg)
     d["cpr_format"] = msg.cpr_format.name
     return d
@@ -61,6 +65,10 @@ def _msg_to_json(msg) -> Optional[dict]:
 def _msg_from_json(d: Optional[dict], cls):
     if d is None:
         return None
+    if "cpr" in d:
+        from airjax.track.batch import CprStash
+
+        return CprStash(d["cpr"][0], d["cpr"][1])
     d = dict(d)
     d["cpr_format"] = CprFormat[d["cpr_format"]]
     return cls(**d)

@@ -365,3 +365,25 @@ def test_extended_batch_sink_boundary_straddle_and_regrow():
     assert stats_b.good == stats_p.good == len(offsets) - 1
     assert stats_b.overflow_blocks == stats_p.overflow_blocks >= 1
     _assert_equal_state(per, bt.aircrafts)
+
+
+def test_min_offset_seeds_cache_without_applying():
+    """Slots below min_offset (overlap streams: the padded head) must
+    seed the acceptance cache — per-packet parity: assemble_extended
+    registers ICAOs in pass 1 even for frames the runner then skips —
+    while never touching the tracker."""
+    iq = synth.modulate(
+        [synth.make_df17(0x40621D, synth.make_id_me("HEADFRM"))], [500], N, seed=13
+    )
+    out = _decode(iq)
+    bt = ExtendedBatchTracker()
+    cache = IcaoCache()
+    applied = bt.on_extended_block(out, 50.0, cache, min_offset=10_000)
+    assert applied == 0
+    assert bt.aircrafts == {}
+    assert cache.contains(0x40621D, 50.0)
+    # A DF4 for that ICAO in the next block is now accepted.
+    iq2 = synth.modulate([shortframe.make_df4(0x40621D, 7000)], [500], N, seed=14)
+    out2 = _decode(iq2)
+    assert bt.on_extended_block(out2, 51.0, cache) == 1
+    assert bt.aircrafts[0x40621D].altitude == 7000

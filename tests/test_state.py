@@ -127,3 +127,50 @@ def test_cli_state_flag_web_mode(tmp_path, capsys, monkeypatch):
     # The decoded synthetic traffic joined the restored aircraft.
     back = state.load_state(seed)
     assert 0x123456 in back and len(back) >= 2
+
+
+def test_checkpoint_roundtrips_batched_stash(tmp_path):
+    """A tracker fed through the batched path stashes CprStash tuples;
+    the checkpoint must serialize them (review fix: asdict crashed) and
+    restore them in a form BOTH paths can pair against."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from airjax.io import synth
+    from airjax.protocol.fields import extract_fields
+    from airjax.track.batch import BatchTracker, CprStash
+    from airjax.track.state import load_state, save_state
+
+    bt = BatchTracker()
+    f = synth.make_df17(
+        0x4840D6,
+        synth.make_position_me(
+            tc=11, altitude_ft=38000, cpr_lat=93000, cpr_lon=51372, odd=False
+        ),
+    )
+    arr = np.frombuffer(f, np.uint8).reshape(1, 14)
+    fields = jax.device_get(extract_fields(jnp.asarray(arr)))
+    bt.on_fields(fields, np.arange(1), 500.0)
+    assert isinstance(bt.aircrafts[0x4840D6].last_even_packet, CprStash)
+
+    path = tmp_path / "state_batched.json"
+    save_state(bt.aircrafts, path)
+    restored = load_state(path)
+    stash = restored[0x4840D6].last_even_packet
+    assert stash == CprStash(93000, 51372)
+    assert stash.cpr_latitude == 93000  # attribute access (handle_packet)
+
+    # The restored stash pairs with a per-packet odd frame.
+    from airjax.protocol.packet import AdsbPacket
+    from airjax.track.aircraft import handle_aircraft_update
+
+    f_odd = synth.make_df17(
+        0x4840D6,
+        synth.make_position_me(
+            tc=11, altitude_ft=38000, cpr_lat=74158, cpr_lon=50194, odd=True
+        ),
+    )
+    handle_aircraft_update(AdsbPacket.from_bytes(f_odd, 501.0), restored)
+    geo = restored[0x4840D6].geo_position
+    assert geo is not None and abs(geo.latitude - 52.26578) < 1e-3

@@ -166,11 +166,13 @@ def test_batched_sink_web_broadcast(display):
     assert stats.good == 3
 
     got = _ws_read_frames(s, min_frames=1)
-    assert len(got) == 1  # coalesced: one summary per aircraft per block
-    assert got[0]["icao"] == icao
-    assert got[0]["callsign"] == "BATCHWS_"
-    assert got[0]["altitude"] == 2650
-    assert got[0]["geoPosition"] is not None
+    # The module-scoped display may also deliver a late-joiner snapshot
+    # frame for aircraft from earlier tests; count only OUR aircraft.
+    mine = [g for g in got if g["icao"] == icao]
+    assert len(mine) == 1  # coalesced: one summary per aircraft per block
+    assert mine[0]["callsign"] == "BATCHWS_"
+    assert mine[0]["altitude"] == 2650
+    assert mine[0]["geoPosition"] is not None
     snap = json.load(_get(display, "/api/aircraft"))
     assert any(a["icao"] == icao and a["callsign"] == "BATCHWS_" for a in snap)
     s.close()
@@ -207,7 +209,7 @@ def test_batched_sink_web_extended():
         stats = run_stream(iter([iq]), sink, overlap=True, extended=True)
         assert stats.good == 3
         got = _ws_read_frames(s, min_frames=2)
-        assert len(got) == 2  # two aircraft touched -> two summaries
+        assert len(got) == 2  # fresh display: two aircraft -> two summaries
         by_icao = {g["icao"]: g for g in got}
         assert by_icao[icao]["callsign"] == "EXTWS___"
         assert by_icao[icao]["groundSpeedKt"] == 120.0
