@@ -111,3 +111,65 @@ def decode_capture(
         "devices": n_dev,
     }
     return hits, stats
+
+
+def decode_capture_extended(
+    local_iq: np.ndarray,
+    capacity_per_shard: int = 2048,
+    axis: str = TIME_AXIS,
+    now: float = 0.0,
+    cache=None,
+):
+    """Extended-mode (every Mode S downlink format) multi-host decode.
+
+    Same contract as decode_capture — every process contributes its own
+    contiguous span, every host gathers the identical result — but the
+    pod runs the extended sharded pipeline
+    (airjax.parallel.halo.build_sharded_decoder_extended) and the result
+    is the ordered typed packet list of airjax.extended.assemble_extended
+    (the ICAO acceptance cache sees every CRC-validated frame in the
+    capture before any AP-addressed candidate is gated, identical to a
+    single-block decode). Returns ([(global_offset, packet)], stats).
+    """
+    from jax.experimental import multihost_utils
+
+    from airjax.extended import assemble_extended
+    from airjax.parallel.halo import _EXT_DATA_KEYS, _EXT_MASK_KEYS
+    from airjax.track.icao_cache import IcaoCache
+
+    mesh = global_mesh(axis)
+    n_dev = mesh.shape[axis]
+    local = np.ascontiguousarray(local_iq, dtype=np.int16)
+    n_global = local.shape[0] * jax.process_count()
+    if n_global % n_dev != 0:
+        raise ValueError(
+            f"global samples {n_global} not divisible by {n_dev} devices"
+        )
+    from airjax.parallel.halo import build_sharded_decoder_extended
+
+    iq_global = ingest_process_local(local, mesh, axis)
+    step = build_sharded_decoder_extended(
+        mesh, n_global, capacity_per_shard, axis
+    )
+    out = step(iq_global)
+
+    keys = ("offsets", "frames", "frames_raw") + _EXT_MASK_KEYS + _EXT_DATA_KEYS
+    gathered = {
+        k: np.asarray(multihost_utils.process_allgather(out[k], tiled=True))
+        for k in keys
+    } if jax.process_count() > 1 else {
+        k: np.asarray(jax.device_get(out[k])) for k in keys
+    }
+
+    packets = assemble_extended(
+        gathered, now, cache if cache is not None else IcaoCache()
+    )
+    stats = {
+        "n_detections": int(jax.device_get(out["n_detections"])),
+        "n_good_long": int(np.sum(gathered["good_long"])),
+        "n_good_df11": int(np.sum(gathered["good_df11"])),
+        "overflow": bool(jax.device_get(out["overflow"])),
+        "processes": jax.process_count(),
+        "devices": n_dev,
+    }
+    return packets, stats

@@ -39,6 +39,19 @@ def main() -> None:
     local = iq[rank * half : (rank + 1) * half]
 
     hits, stats = multihost.decode_capture(local)
+
+    # Extended path in the same 2-process session: a DF17, a DF11
+    # all-call STRADDLING the process boundary, and a cache-gated DF4.
+    from airjax.protocol import shortframe
+
+    df11 = shortframe.make_df11(0x40621D)
+    df4 = shortframe.make_df4(0x40621D, 9000)
+    eoffsets = [2000, half - 60, 28000]
+    eiq = synth.modulate([frame, df11, df4], eoffsets, n, seed=10)
+    packets, estats = multihost.decode_capture_extended(
+        eiq[rank * half : (rank + 1) * half], now=100.0
+    )
+
     print(
         "RESULT "
         + json.dumps(
@@ -48,6 +61,9 @@ def main() -> None:
                 "frame_hex": frame.hex(),
                 "hits": [[h[1], h[2].hex(), h[3]] for h in hits],
                 "stats": stats,
+                "expected_ext": eoffsets,
+                "epackets": [[off, type(p).__name__] for off, p in packets],
+                "estats": estats,
             }
         ),
         flush=True,

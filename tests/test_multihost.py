@@ -36,6 +36,28 @@ def test_decode_capture_single_process():
     assert stats["devices"] == n_dev
 
 
+def test_decode_capture_extended_single_process():
+    from airjax.protocol import shortframe
+    from airjax.protocol.packet import AdsbPacket, AllCallReply, SurveillanceReply
+
+    mesh = multihost.global_mesh()
+    n_dev = mesh.shape["t"]
+    n = 4096 * n_dev
+    frame = synth.make_df17(0x7C6B30, synth.make_id_me("MHEXT"))
+    df11 = shortframe.make_df11(0x40621D)
+    df4 = shortframe.make_df4(0x40621D, 9000)
+    # DF11 straddles the first shard edge; DF4 gated on its ICAO cache hit.
+    offsets = [700, 4096 - 60, n - 2000]
+    iq = synth.modulate([frame, df11, df4], offsets, n, seed=6)
+    packets, stats = multihost.decode_capture_extended(iq, now=100.0)
+    by_off = {off: p for off, p in packets}
+    assert isinstance(by_off[offsets[0]], AdsbPacket)
+    assert isinstance(by_off[offsets[1]], AllCallReply)
+    assert isinstance(by_off[offsets[2]], SurveillanceReply)
+    assert by_off[offsets[2]].altitude_ft == 9000
+    assert stats["processes"] == 1 and stats["devices"] == n_dev
+
+
 def test_ingest_shape_validation():
     mesh = multihost.global_mesh()
     iq = np.zeros((1024 * mesh.shape["t"], 2), np.int16)
@@ -88,3 +110,14 @@ def test_two_process_loopback():
     got = {h[0] for h in r0["hits"] if h[1] == r0["frame_hex"]}
     # All three frames found — in particular the process-boundary straddle.
     assert got >= set(r0["expected_offsets"])
+    # Extended path: both ranks gathered the identical typed packet
+    # stream — DF17, the process-boundary-straddling DF11 all-call, and
+    # the cache-gated DF4 surveillance reply.
+    assert r0["epackets"] == r1["epackets"]
+    assert r0["estats"] == r1["estats"]
+    by_off = dict(map(tuple, r0["epackets"]))
+    e0, e1, e2 = r0["expected_ext"]
+    assert by_off[e0] == "AdsbPacket"
+    assert by_off[e1] == "AllCallReply"
+    assert by_off[e2] == "SurveillanceReply"
+    assert r0["estats"]["processes"] == 2
