@@ -151,10 +151,10 @@ def _cmd_adsb(args) -> int:
         return 2
     if args.ref_lat is not None:
         ref_position = (args.ref_lat, args.ref_lon)
-    if args.batched and args.mode != "web":
+    if args.batched and args.mode == "stream":
         print(
-            "warning: --batched applies to web mode only (stream prints and "
-            "the TUI queues per packet)",
+            "warning: --batched has no effect in stream mode (its contract "
+            "is one printed dump per packet)",
             file=sys.stderr,
         )
 
@@ -205,9 +205,14 @@ def _cmd_adsb(args) -> int:
         app = TuiApp(ref_position=ref_position, evict_after_s=args.evict_after)
         if restored:
             app.aircrafts.update(restored)
+        tui_sink = (
+            app.batched_sink(extended=args.extended)
+            if args.batched
+            else app.on_packet
+        )
         decode_thread = threading.Thread(
             target=run_stream,
-            args=(source, app.on_packet),
+            args=(source, tui_sink),
             kwargs={"overlap": overlap, "extended": args.extended},
             daemon=True,
         )
@@ -298,9 +303,10 @@ def build_parser() -> argparse.ArgumentParser:
     adsb.add_argument(
         "--batched",
         action="store_true",
-        help="web mode: batched tracker sink + one WS broadcast per "
-        "touched aircraft per block (4.1x/2.5x host throughput; the "
-        "reference's per-packet broadcast granularity is the default)",
+        help="web/interactive modes: batched tracker sink (4.1x/2.5x host "
+        "throughput); web also coalesces the WS broadcast to one summary "
+        "per touched aircraft per block (the reference's per-packet "
+        "granularity is the default)",
     )
     adsb.add_argument(
         "--state", default=None, metavar="FILE",

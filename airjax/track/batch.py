@@ -417,6 +417,36 @@ class ExtendedBatchTracker(BatchTracker):
         return applied
 
 
+def locked_sink(inner, lock, extended: bool = False):
+    """Wrap a (Extended)BatchTracker so every tracker mutation happens
+    under `lock` — the UI sinks (web server's HTTP snapshot, the TUI's
+    render loop) read the shared aircraft table from another thread.
+    The wrapper exposes exactly the interfaces run_stream auto-detects:
+    __call__ (per-packet fallback), on_fields, and (extended only)
+    on_extended_block. `inner.on_applied` callbacks run WITH the lock
+    held — they must not re-acquire it."""
+
+    class LockedSink:
+        aircrafts = inner.aircrafts
+        tracker = inner
+
+        def __call__(self, packet):
+            with lock:
+                inner(packet)
+
+        def on_fields(self, *a, **k):
+            with lock:
+                return inner.on_fields(*a, **k)
+
+        if extended:
+
+            def on_extended_block(self, *a, **k):
+                with lock:
+                    return inner.on_extended_block(*a, **k)
+
+    return LockedSink()
+
+
 def mirror_stash(aircraft: Aircraft) -> None:
     """Per-packet Aircraft stashes AircraftPositionMsg objects; BatchTracker
     stashes (cpr_lat, cpr_lon) tuples. Both pair identically — this helper

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import curses
 import queue
+import threading
 import time
 
 from airjax.protocol.packet import AdsbPacket
@@ -34,10 +35,37 @@ class TuiApp:
         # Age-based eviction (extension; None = reference behavior: the
         # table grows without bound, src/adsb/aircraft.rs:158-165).
         self.evict_after_s = evict_after_s
+        # Held by the render loop around table reads; the batched sink
+        # (if used) mutates the shared aircraft table under it. The
+        # default per-packet path needs no lock (queue handoff).
+        self._lock = threading.Lock()
 
     def on_packet(self, packet: AdsbPacket) -> None:
         """Sink callable — safe to call from the decode thread."""
         self.queue.put(packet)
+
+    def batched_sink(self, extended: bool = False):
+        """Batched decode sink sharing this app's aircraft table (CLI
+        `--batched` in interactive mode): block updates apply on the
+        decode thread under the render lock instead of queuing one
+        packet at a time; the title's packet counter follows the
+        tracker's message count."""
+        from airjax.track.batch import BatchTracker, ExtendedBatchTracker, locked_sink
+
+        if extended:
+            inner = ExtendedBatchTracker(
+                evict_after_s=self.evict_after_s, ref_position=self.ref_position
+            )
+        else:
+            inner = BatchTracker(evict_after_s=self.evict_after_s)
+        inner.aircrafts = self.aircrafts
+        app = self
+
+        def applied(_icaos):
+            app.num_packets = inner.n_messages
+
+        inner.on_applied = applied
+        return locked_sink(inner, self._lock, extended=extended)
 
     def _drain(self):
         while True:
@@ -77,14 +105,16 @@ class TuiApp:
         stdscr.nodelay(True)
         running = True
         while running:
-            self._drain()
+            with self._lock:
+                self._drain()
+                rows = list(self._rows())
             stdscr.erase()
             maxy, maxx = stdscr.getmaxyx()
             title = f" airjax adsb tracker {self.num_packets} "
             stdscr.addnstr(0, max(0, (maxx - len(title)) // 2), title, maxx - 1, curses.A_BOLD)
             line = "".join(h.ljust(w) for h, w in zip(HEADER, WIDTHS))
             stdscr.addnstr(1, 0, line, maxx - 1, curses.A_BOLD)
-            for i, row in enumerate(self._rows()):
+            for i, row in enumerate(rows):
                 if i + 2 >= maxy:
                     break
                 stdscr.addnstr(

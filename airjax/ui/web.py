@@ -168,27 +168,9 @@ class WebDisplay:
 
         inner.on_applied = broadcast_applied
 
-        class LockedSink:
-            """run_stream-facing facade: every tracker mutation happens
-            under the display lock so HTTP snapshot() never races the
-            decode thread."""
+        from airjax.track.batch import locked_sink
 
-            aircrafts = self.aircrafts
-
-            def __call__(self, packet):
-                with display._lock:
-                    inner(packet)
-
-            def on_fields(self, *a, **k):
-                with display._lock:
-                    return inner.on_fields(*a, **k)
-
-            if extended:
-                def on_extended_block(self, *a, **k):
-                    with display._lock:
-                        return inner.on_extended_block(*a, **k)
-
-        return LockedSink()
+        return locked_sink(inner, self._lock, extended=extended)
 
     # --- server ---
     def serve_forever(self) -> None:

@@ -31,19 +31,29 @@ frames = [
 ]
 iq = synth.modulate(frames, [500, 1500], 20000, seed=3)
 app = TuiApp()
+sink = (
+    app.batched_sink(extended=True)
+    if os.environ.get("AIRJAX_TEST_BATCHED")
+    else app.on_packet
+)
 threading.Thread(
     target=run_stream,
-    args=(iter([iq]), app.on_packet),
+    args=(iter([iq]), sink),
     kwargs={"extended": True},
     daemon=True,
 ).start()
 interactive_display(app)
 """
 
+import pytest
 
-def test_tui_renders_velocity_column():
+
+@pytest.mark.parametrize("batched", [False, True])
+def test_tui_renders_velocity_column(batched):
     parent_fd, child_fd = pty.openpty()
     env = dict(os.environ, PYTHONPATH=str(pathlib.Path(__file__).resolve().parent.parent))
+    if batched:
+        env["AIRJAX_TEST_BATCHED"] = "1"
     proc = subprocess.Popen(
         [sys.executable, "-c", _CHILD],
         stdin=child_fd,
