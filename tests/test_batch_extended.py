@@ -387,3 +387,26 @@ def test_min_offset_seeds_cache_without_applying():
     out2 = _decode(iq2)
     assert bt.on_extended_block(out2, 51.0, cache) == 1
     assert bt.aircrafts[0x40621D].altitude == 7000
+
+
+@pytest.mark.parametrize("seed", [30, 31])
+def test_assemble_with_device_short_fields_matches_host(seed):
+    """assemble_extended must produce the IDENTICAL typed packet stream
+    whether the per-candidate short-frame fields come from the device
+    arrays (production: decode_iq_block_extended_with_fields) or from
+    the independent scalar host decode (oracle path: the same dict with
+    short_fields removed)."""
+    from airjax.pipeline import decode_iq_block_extended
+
+    rng = np.random.default_rng(seed)
+    for _ in range(6):
+        iq = _random_capture(rng)
+        out_sf = _decode(iq)
+        out_host = {k: v for k, v in out_sf.items() if k != "short_fields"}
+        pk_sf = assemble_extended(out_sf, 100.0, IcaoCache())
+        pk_host = assemble_extended(out_host, 100.0, IcaoCache())
+        assert len(pk_sf) == len(pk_host)
+        for (o1, p1), (o2, p2) in zip(pk_sf, pk_host):
+            assert o1 == o2
+            assert type(p1) is type(p2)
+            assert p1 == p2, (o1, p1, p2)
