@@ -410,3 +410,52 @@ def test_assemble_with_device_short_fields_matches_host(seed):
             assert o1 == o2
             assert type(p1) is type(p2)
             assert p1 == p2, (o1, p1, p2)
+
+
+@pytest.mark.parametrize("seed", [50, 51, 52])
+def test_run_stream_extended_fuzz_batched_equals_per_packet(seed):
+    """Randomized multi-chunk streams (mixed DFs, frames at interior AND
+    chunk-boundary offsets, occasional corruption) through run_stream:
+    the auto-detected batched sink must leave identical tracker state
+    and stats as the per-packet sink — exercising the overlap carry,
+    min_offset, capacity regrow and offset-order interleaving together."""
+    from airjax.config import PipelineConfig
+    from airjax.runner import run_stream
+
+    rng = np.random.default_rng(seed)
+    chunk, n_chunks = 4000, 7
+    n = chunk * n_chunks
+    frames, offsets = [], []
+    for b in range(n_chunks):
+        for _ in range(int(rng.integers(1, 5))):
+            f = _random_frame(rng)
+            if rng.random() < 0.1:
+                f = synth.flip_bit(f, int(rng.integers(0, 8 * len(f))))
+            frames.append(f)
+            # Mostly interior; sometimes straddling the next boundary.
+            if rng.random() < 0.3 and b < n_chunks - 1:
+                offsets.append((b + 1) * chunk - int(rng.integers(20, 200)))
+            else:
+                offsets.append(b * chunk + int(rng.integers(0, chunk - 300)))
+    iq = synth.modulate(frames, offsets, n, seed=seed + 1000)
+
+    def chunks():
+        for i in range(0, n, chunk):
+            yield iq[i : i + chunk]
+
+    cfg = PipelineConfig(max_candidates=8)  # regrow fires on dense blocks
+    bt = ExtendedBatchTracker(ref_position=REF_POS)
+    stats_b = run_stream(chunks(), bt, cfg=cfg, overlap=True, extended=True)
+
+    per: dict = {}
+    stats_p = run_stream(
+        chunks(),
+        lambda p: handle_extended_update(p, per, ref_position=REF_POS),
+        cfg=cfg,
+        overlap=True,
+        extended=True,
+    )
+    assert stats_b.good == stats_p.good
+    assert stats_b.detections == stats_p.detections
+    assert stats_b.overflow_blocks == stats_p.overflow_blocks
+    _assert_equal_state(per, bt.aircrafts)
