@@ -244,6 +244,15 @@ def run_stream(
             global_base += n_off
         while len(inflight) > max(pipeline_depth, 0):
             _process(inflight.popleft())
+    if overlap and len(pending):
+        # A final short read (< 240 samples) never formed a block; its
+        # samples still terminate the stream and frames ending inside
+        # them are scannable once appended to the carry.
+        carry = (
+            np.concatenate([carry, pending], axis=0)
+            if carry is not None
+            else pending
+        )
     if overlap and carry is not None and carry.shape[0] > halo:
         # Tail flush: the tuned decomposition can leave more than a
         # window's worth of samples in the carry; their offsets are still

@@ -298,9 +298,10 @@ class ExtendedBatchTracker(BatchTracker):
         frames_raw = np.asarray(out["frames_raw"])
         offsets = np.asarray(out["offsets"])
 
-        # Whole-block python lists once (per-element numpy scalar
-        # indexing in the walk below measured ~10x slower).
-        kmax = int(k_pass1[-1]) + 1 if len(k_pass1) else 0
+        # Pass-1-subset python lists once (per-element numpy scalar
+        # indexing in the walk below measured ~10x slower; subsetting by
+        # k_pass1 keeps the conversion O(validated frames), not
+        # O(detections) — noise detections can fill the whole capacity).
         k1_l = k_pass1.tolist()
         gl_l = good_long[k_pass1].tolist()
         off1_l = offsets[k_pass1].tolist()
@@ -325,11 +326,11 @@ class ExtendedBatchTracker(BatchTracker):
         if min_offset is not None:
             pass2 = [t for t in pass2 if t[0] >= min_offset]
 
-        L = self._field_lists(fields, slice(0, kmax), True) if kmax else None
+        L = self._field_lists(fields, k_pass1, True) if len(k_pass1) else None
         aircrafts = self.aircrafts
         applied = 0
         touched: set[int] = set()  # ICAOs actually applied (on_applied)
-        run: list[int] = []  # absolute slot indices into L
+        run: list[int] = []  # k_pass1-subset positions into L
         pending: list[tuple] = []  # deferred pair jobs (…, icao)
         pending_icaos: set[int] = set()
 
@@ -388,7 +389,7 @@ class ExtendedBatchTracker(BatchTracker):
                     MSG_AIRCRAFT_POSITION,
                     MSG_AIRCRAFT_VELOCITY,
                 ):
-                    run.append(k1_l[j1])
+                    run.append(j1)
                     continue
                 flush_run()
                 apply_fallback(

@@ -118,3 +118,28 @@ def test_tuned_stream_mixed_block_sizes():
     decoded = [p for p in got if p.packet == FRAME]
     assert len(decoded) == len(offsets)
     assert stats.good == len(offsets)
+
+
+def test_final_short_read_samples_are_scanned():
+    """A trailing short read (< 240 samples, e.g. a live-SDR partial
+    buffer at shutdown) accumulates in `pending` and must still be
+    scanned at EOF: a frame ending inside those final samples decodes
+    (review fix: the tail flush ignored pending, losing it)."""
+    n = 8150  # chunks of 4000, 4000, then a 150-sample short read
+    off = n - 250  # frame ends 26 samples before stream end
+    iq = synth.modulate([FRAME], [off], n, seed=3)
+
+    def chunks():
+        yield iq[:4000]
+        yield iq[4000:8000]
+        yield iq[8000:]
+
+    got = []
+    run_stream(chunks(), got.append, overlap=True)
+    assert [p.packet for p in got] == [FRAME]
+
+    # Same samples as one block: identical result (decomposition
+    # invariance holds through the EOF short read).
+    got_whole = []
+    run_stream(iter([iq]), got_whole.append, overlap=True)
+    assert [p.packet for p in got_whole] == [FRAME]
