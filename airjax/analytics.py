@@ -144,3 +144,99 @@ def _decode_pairs_batch(arr: np.ndarray):
     return decode_pairs(
         arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3], arr[:, 4].astype(bool)
     )
+
+
+@dataclasses.dataclass
+class ExtendedTrack(Track):
+    """Extended-mode track: everything Track has plus the histories only
+    the all-formats decode can produce."""
+
+    velocities: list[tuple] = dataclasses.field(default_factory=list)
+    # (offset, ground_speed_kt, track_deg, vertical_rate_fpm)
+    squawks: list[tuple[int, int]] = dataclasses.field(default_factory=list)
+    kinds: dict[str, int] = dataclasses.field(default_factory=dict)
+    # packet-kind histogram: AdsbPacket / AllCallReply / SurveillanceReply
+    # / AcasReply message counts
+
+
+def analyze_capture_extended(
+    iq: np.ndarray,
+    ref_position: tuple[float, float] | None = None,
+    capacity_per_shard: int = 2048,
+) -> tuple[dict[int, "ExtendedTrack"], dict]:
+    """Extended-mode replay analytics: every Mode S downlink format.
+
+    Decodes the whole capture through the sharded extended pipeline
+    (airjax.parallel.halo.decode_capture_sharded_extended on this
+    process's device mesh — a 1-device mesh degenerates to the plain
+    block decode), then replays the ordered typed packet stream through
+    the live tracker semantics (airjax.extended.handle_extended_update),
+    recording per-event history: position fixes (exactly what the online
+    tracker would have shown at that offset), velocities, squawks and
+    altitudes. Returns ({icao: ExtendedTrack}, stats).
+    """
+    import jax as _jax
+    from jax.sharding import Mesh
+
+    from airjax.extended import handle_extended_update
+    from airjax.parallel.halo import decode_capture_sharded_extended
+    from airjax.parallel.mesh import TIME_AXIS
+    from airjax.protocol.packet import AdsbPacket, AircraftVelocityMsg
+
+    mesh = Mesh(np.asarray(_jax.devices()[:1]), (TIME_AXIS,))
+    packets, stats = decode_capture_sharded_extended(
+        iq, mesh, capacity_per_shard=capacity_per_shard, now=0.0
+    )
+
+    aircrafts: dict = {}
+    tracks: dict[int, ExtendedTrack] = {}
+    n_fixes = 0
+    for off, pkt in packets:
+        t = tracks.get(pkt.icao)
+        if t is None:
+            t = tracks[pkt.icao] = ExtendedTrack(
+                icao=pkt.icao, callsign=None, n_messages=0, altitudes=[], fixes=[]
+            )
+        t.n_messages += 1
+        kind = type(pkt).__name__
+        t.kinds[kind] = t.kinds.get(kind, 0) + 1
+
+        a_prev = aircrafts.get(pkt.icao)
+        geo_prev = a_prev.geo_position if a_prev is not None else None
+        # New aircraft start at the tracker's altitude-0 default; treat
+        # that as the baseline so creation alone logs no altitude event.
+        alt_prev = a_prev.altitude if a_prev is not None else 0
+        squawk_prev = a_prev.squawk if a_prev is not None else None
+        # Offsets are in samples; the tracker's pairing window is in
+        # seconds — replay with time = offset / sample rate so the 10 s
+        # CPR window means the same 20M samples as the online path.
+        handle_extended_update(
+            dataclasses.replace(pkt, time_processed=off / SAMPLE_RATE)
+            if dataclasses.is_dataclass(pkt)
+            else pkt,
+            aircrafts,
+            ref_position=ref_position,
+        )
+        a = aircrafts[pkt.icao]
+        t.callsign = a.callsign
+        if a.altitude != alt_prev:
+            t.altitudes.append((off, a.altitude))
+        if a.squawk is not None and a.squawk != squawk_prev:
+            t.squawks.append((off, a.squawk))
+        if a.geo_position is not None and a.geo_position is not geo_prev:
+            t.fixes.append(
+                Fix(
+                    offset=off,
+                    latitude=a.geo_position.latitude,
+                    longitude=a.geo_position.longitude,
+                    altitude_ft=a.altitude,
+                )
+            )
+            n_fixes += 1
+        if isinstance(pkt, AdsbPacket) and isinstance(pkt.msg, AircraftVelocityMsg):
+            if pkt.msg.ground_speed_kt is not None or pkt.msg.vertical_rate_fpm is not None:
+                t.velocities.append(
+                    (off, a.ground_speed_kt, a.track_deg, a.vertical_rate_fpm)
+                )
+
+    return tracks, {**stats, "n_aircraft": len(tracks), "n_fixes": n_fixes}

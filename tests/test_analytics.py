@@ -78,3 +78,57 @@ def test_empty_capture():
     tracks, stats = analyze_capture(iq)
     assert tracks == {} or all(t.n_messages == 0 for t in tracks.values()) is False
     assert stats["n_fixes"] == 0
+
+
+def test_extended_analytics_tracks():
+    """analyze_capture_extended: all-formats replay with per-event
+    velocity/squawk/fix histories and a packet-kind histogram."""
+    from airjax.analytics import analyze_capture_extended
+    from airjax.protocol import shortframe
+
+    lat_e, lon_e = synth.encode_airborne_cpr(*POS, odd=False)
+    lat_o, lon_o = synth.encode_airborne_cpr(*POS, odd=True)
+    frames = [
+        synth.make_df17(ICAO_A, synth.make_id_me("EXTANL")),
+        synth.make_df17(
+            ICAO_A, synth.make_position_me(11, ALT, lat_e, lon_e, odd=False)
+        ),
+        synth.make_df17(
+            ICAO_A, synth.make_position_me(11, ALT, lat_o, lon_o, odd=True)
+        ),
+        synth.make_df17(
+            ICAO_A, synth.make_velocity_me(ew_kt=100, ns_kt=75, vertical_rate_fpm=-640)
+        ),
+        shortframe.make_df11(ICAO_B),
+        shortframe.make_df5(ICAO_B, 7421),
+        shortframe.make_df4(ICAO_B, 12000),
+    ]
+    offsets = [500, 9000, 21000, 33000, 40000, 44000, 48000]
+    iq = synth.modulate(frames, offsets, 60000, noise_std=20.0, seed=7)
+
+    tracks, stats = analyze_capture_extended(iq)
+    assert stats["n_aircraft"] == 2
+    a = tracks[ICAO_A]
+    assert a.callsign == "EXTANL__"
+    assert a.kinds == {"AdsbPacket": 4}
+    assert len(a.fixes) == 1
+    assert abs(a.fixes[0].latitude - POS[0]) < 0.01
+    assert a.fixes[0].offset == 21000
+    assert len(a.velocities) == 1
+    off, gs, tr, vr = a.velocities[0]
+    assert off == 33000 and vr == -640
+    assert abs(gs - (100**2 + 75**2) ** 0.5) < 1e-6
+    b = tracks[ICAO_B]
+    assert b.kinds == {"AllCallReply": 1, "SurveillanceReply": 2}
+    assert b.squawks == [(44000, 7421)]
+    assert b.altitudes[-1] == (48000, 12000)
+
+
+def test_extended_analytics_empty():
+    from airjax.analytics import analyze_capture_extended
+
+    iq = np.clip(
+        np.round(np.random.default_rng(0).normal(0, 30, (40000, 2))), -128, 127
+    ).astype(np.int16)
+    tracks, stats = analyze_capture_extended(iq)
+    assert tracks == {} and stats["n_aircraft"] == 0

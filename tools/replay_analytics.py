@@ -19,13 +19,28 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("capture", help=".c16 capture file")
     ap.add_argument("--json", default=None, help="also write a JSON report")
+    ap.add_argument(
+        "--extended", action="store_true",
+        help="decode every Mode S downlink format; adds velocity/squawk/"
+        "kind histories per aircraft",
+    )
+    ap.add_argument("--ref-lat", type=float, default=None)
+    ap.add_argument("--ref-lon", type=float, default=None)
     args = ap.parse_args()
 
-    from airjax.analytics import analyze_capture
+    from airjax.analytics import analyze_capture, analyze_capture_extended
     from airjax.io.c16 import load_c16
 
     iq = load_c16(args.capture)
-    tracks, stats = analyze_capture(iq)
+    if args.extended:
+        ref = (
+            (args.ref_lat, args.ref_lon)
+            if args.ref_lat is not None and args.ref_lon is not None
+            else None
+        )
+        tracks, stats = analyze_capture_extended(iq, ref_position=ref)
+    else:
+        tracks, stats = analyze_capture(iq)
 
     report = []
     for icao, t in sorted(tracks.items()):
@@ -48,6 +63,18 @@ def main():
                 ],
             }
         )
+        if args.extended:
+            report[-1]["kinds"] = t.kinds
+            report[-1]["squawks"] = t.squawks
+            report[-1]["velocities"] = [
+                {
+                    "offset": off,
+                    "gs_kt": None if gs is None else round(gs, 1),
+                    "track_deg": None if tr is None else round(tr, 1),
+                    "vr_fpm": vr,
+                }
+                for off, gs, tr, vr in t.velocities
+            ]
     for entry in report:
         print(json.dumps(entry))
     print(f"stats: {json.dumps(stats)}", file=sys.stderr)
