@@ -72,18 +72,89 @@ def sweep(
     return {"curve": curve, "frames_per_capture": frames_per_capture}
 
 
+def sweep_extended(
+    snrs_db=(0.0, 2.0, 4.0, 6.0, 8.0, 10.0, 14.0, 20.0),
+    captures_per_snr: int = 8,
+    capture_len: int = 24001,
+    seed: int = 0,
+) -> dict:
+    """Extended-mode sensitivity: per-kind decode rate vs SNR.
+
+    Short frames carry half the data bits under the same preamble, and
+    DF4's validity is a parity-recovered address match rather than a
+    zero CRC residual — their curves legitimately differ from DF17's.
+    Per capture: 2 DF17 (CRC-validated long), 2 DF11 (PI==CRC), and 2
+    DF4 whose recovered icao_ap must equal the known transmitter.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from airjax.pipeline import decode_iq_block_extended
+    from airjax.protocol import shortframe
+
+    icao = 0x7C6B30
+    df17 = synth.make_df17(icao, synth.make_id_me("SNREXT"))
+    df11 = shortframe.make_df11(icao)
+    df4 = shortframe.make_df4(icao, 12000)
+    frames = [df17, df11, df4, df17, df11, df4]
+    spacing = (capture_len - 600) // len(frames)
+    offsets = [300 + i * spacing for i in range(len(frames))]
+    n_off = capture_len - 240
+
+    curve = []
+    for snr in snrs_db:
+        got = {"df17": 0, "df11": 0, "df4": 0}
+        per_kind_total = 2 * captures_per_snr
+        for c in range(captures_per_snr):
+            iq = synth.modulate(
+                frames, offsets, capture_len,
+                snr_db=snr, seed=seed * 90001 + int(snr * 10) * 31 + c,
+            )
+            out = jax.device_get(
+                decode_iq_block_extended(jnp.asarray(iq), n_off, 512)
+            )
+            offs = np.asarray(out["offsets"])
+            for i, off in enumerate(offsets):
+                k = np.nonzero(offs == off)[0]
+                if not len(k):
+                    continue
+                k = k[0]
+                kind = ("df17", "df11", "df4")[i % 3]
+                ok = (
+                    bool(out["good_long"][k]) if kind == "df17"
+                    else bool(out["good_df11"][k]) if kind == "df11"
+                    else bool(out["cand_short_ap"][k])
+                    and int(out["icao_ap_short"][k]) == icao
+                )
+                got[kind] += bool(ok)
+        curve.append(
+            {
+                "snr_db": snr,
+                **{
+                    f"decode_rate_{k}": round(v / per_kind_total, 4)
+                    for k, v in got.items()
+                },
+            }
+        )
+    return {"curve": curve, "frames_per_kind_per_capture": 2}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--captures", type=int, default=8)
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--golden", action="store_true", help="cross-check scalar oracle")
+    p.add_argument("--extended", action="store_true", help="per-DF-kind curves")
     p.add_argument("--json", default=None)
     args = p.parse_args(argv)
-    result = sweep(
-        captures_per_snr=args.captures,
-        frames_per_capture=args.frames,
-        check_golden=args.golden,
-    )
+    if args.extended:
+        result = sweep_extended(captures_per_snr=args.captures)
+    else:
+        result = sweep(
+            captures_per_snr=args.captures,
+            frames_per_capture=args.frames,
+            check_golden=args.golden,
+        )
     text = json.dumps(result, indent=2)
     print(text)
     if args.json:
