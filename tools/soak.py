@@ -57,15 +57,16 @@ def boundary_stream(block: int, stop_flag: dict, seed: int = 0):
         b += 1
 
 
-def sdr_soak(seconds: float) -> int:
+def sdr_soak(seconds: float, extended: bool = False) -> int:
     """Soak the LIVE path: SdrSource (usually the fake SoapySDR double)
     -> overlap-save decode. The fake cycles one 20k-sample MTU block, so
     each delivered block carries a known frame count and the expected
     decode total is countable (straddlers included: the capture embeds
-    frames only in the interior, so block boundaries never cut one)."""
+    frames only in the interior, so block boundaries never cut one).
+    With extended=True the full-format pipeline + batched sink
+    (ExtendedBatchTracker) consume the same stream."""
     from airjax import sdr
 
-    frames_seen = []
     t0 = time.time()
     src = sdr.SdrSource(device=0)
 
@@ -75,17 +76,27 @@ def sdr_soak(seconds: float) -> int:
                 return
             yield blk
 
-    stats = run_stream(timed_blocks(), lambda pkt: frames_seen.append(pkt.icao))
+    if extended:
+        from airjax.track.batch import ExtendedBatchTracker
+
+        sink = ExtendedBatchTracker()
+        stats = run_stream(timed_blocks(), sink, extended=True)
+        n_decoded = sink.n_messages
+    else:
+        frames_seen = []
+        sink = lambda pkt: frames_seen.append(pkt.icao)  # noqa: E731
+        stats = run_stream(timed_blocks(), sink)
+        n_decoded = len(frames_seen)
     src.close()
     d = stats.as_dict()
     frames_per_block = 3  # tests/test_sdr_fake.py capture layout
     expected = d["blocks"] * frames_per_block
     d.update(
-        mode="sdr",
+        mode="sdr-extended-batched" if extended else "sdr",
         seconds=round(time.time() - t0, 1),
-        frames_decoded=len(frames_seen),
+        frames_decoded=n_decoded,
         frames_expected=expected,
-        boundary_loss=max(0, expected - len(frames_seen)),
+        boundary_loss=max(0, expected - n_decoded),
     )
     print(json.dumps(d))
     return 0 if d["boundary_loss"] == 0 and d["blocks"] > 0 else 1
@@ -164,7 +175,7 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     if args.sdr:
-        return sdr_soak(args.seconds)
+        return sdr_soak(args.seconds, extended=args.extended)
     if args.extended:
         return extended_soak(args.seconds, args.block)
 
