@@ -71,14 +71,25 @@ def ext_fields_body(iq, n_off, capacity):
 
 
 def main():
+    global CAPACITY
     ap = argparse.ArgumentParser()
     ap.add_argument("--r-small", type=int, default=2)
     ap.add_argument("--r-big", type=int, default=12)
+    ap.add_argument(
+        "--capacity", type=int, default=CAPACITY,
+        help="candidate capacity; 16384 covers every preamble-only "
+        "detection at the default harness noise (equal-coverage A/B)",
+    )
     args = ap.parse_args()
+    CAPACITY = args.capacity
 
     n_off = BLOCK - WINDOW
     iq = build_iq()
-    print(f"device: {jax.devices()[0]}, block={BLOCK}, n_off={n_off}", flush=True)
+    print(
+        f"device: {jax.devices()[0]}, block={BLOCK}, n_off={n_off}, "
+        f"capacity={CAPACITY}",
+        flush=True,
+    )
 
     variants = [
         ("df17", df17_body),
