@@ -218,7 +218,12 @@ def _cmd_adsb(args) -> int:
         )
         decode_thread.start()
         interactive_display(app)
-        _save_state(app.aircrafts)
+        # The daemon decode thread may still be mutating the shared table
+        # (batched mode mutates under app._lock); hold the lock for a
+        # consistent checkpoint. Per-packet mode only queues from the
+        # decode thread, so the lock is uncontended there.
+        with app._lock:
+            _save_state(app.aircrafts)
         return 0
     elif args.mode == "web":
         from airjax.ui.web import WebDisplay

@@ -81,6 +81,16 @@ def decode_capture(
     iq_global = ingest_process_local(local, mesh, axis)
     step = build_sharded_decoder(mesh, n_global, capacity_per_shard, axis)
     out = step(iq_global)
+    # Adaptive regrow on per-shard capacity overflow, mirroring
+    # decode_capture_sharded (halo.py): without it a detection storm in
+    # one shard would silently truncate the hit list. The overflow flag
+    # is replicated (jnp.any over shards), so every process takes the
+    # same number of regrow iterations.
+    block = n_global // n_dev
+    while bool(jax.device_get(out["overflow"])) and capacity_per_shard < block:
+        capacity_per_shard = min(capacity_per_shard * 4, block)
+        step = build_sharded_decoder(mesh, n_global, capacity_per_shard, axis)
+        out = step(iq_global)
 
     # Candidate outputs are small (n_dev * K); gather them everywhere.
     gathered = {
@@ -107,6 +117,8 @@ def decode_capture(
     stats = {
         "n_detections": int(jax.device_get(out["n_detections"])),
         "n_good": int(jax.device_get(out["n_good"])),
+        "overflow": bool(jax.device_get(out["overflow"])),
+        "capacity_per_shard": capacity_per_shard,
         "processes": jax.process_count(),
         "devices": n_dev,
     }
@@ -152,6 +164,16 @@ def decode_capture_extended(
         mesh, n_global, capacity_per_shard, axis
     )
     out = step(iq_global)
+    # Regrow on overflow like decode_capture_sharded_extended: the
+    # extended preamble-only gate fires far more often than the DF17
+    # stencil, so truncation here would drop real validated frames.
+    block = n_global // n_dev
+    while bool(jax.device_get(out["overflow"])) and capacity_per_shard < block:
+        capacity_per_shard = min(capacity_per_shard * 4, block)
+        step = build_sharded_decoder_extended(
+            mesh, n_global, capacity_per_shard, axis
+        )
+        out = step(iq_global)
 
     keys = ("offsets", "frames", "frames_raw") + _EXT_MASK_KEYS + _EXT_DATA_KEYS
     gathered = {
@@ -169,6 +191,7 @@ def decode_capture_extended(
         "n_good_long": int(np.sum(gathered["good_long"])),
         "n_good_df11": int(np.sum(gathered["good_df11"])),
         "overflow": bool(jax.device_get(out["overflow"])),
+        "capacity_per_shard": capacity_per_shard,
         "processes": jax.process_count(),
         "devices": n_dev,
     }

@@ -448,6 +448,28 @@ def locked_sink(inner, lock, extended: bool = False):
     return LockedSink()
 
 
+def build_batched_sink(
+    aircrafts: dict,
+    lock,
+    extended: bool = False,
+    evict_after_s: Optional[float] = None,
+    ref_position=None,
+):
+    """Shared construction recipe for the UI batched sinks (TUI, web):
+    pick the tracker class by `extended`, share the caller's aircraft
+    table, and wrap in locked_sink. Returns (sink, tracker); callers
+    set `tracker.on_applied` afterwards (it is read at call time, so
+    assignment after wrapping is safe)."""
+    if extended:
+        tracker = ExtendedBatchTracker(
+            evict_after_s=evict_after_s, ref_position=ref_position
+        )
+    else:
+        tracker = BatchTracker(evict_after_s=evict_after_s)
+    tracker.aircrafts = aircrafts
+    return locked_sink(tracker, lock, extended=extended), tracker
+
+
 def mirror_stash(aircraft: Aircraft) -> None:
     """Per-packet Aircraft stashes AircraftPositionMsg objects; BatchTracker
     stashes (cpr_lat, cpr_lon) tuples. Both pair identically — this helper

@@ -50,22 +50,19 @@ class TuiApp:
         decode thread under the render lock instead of queuing one
         packet at a time; the title's packet counter follows the
         tracker's message count."""
-        from airjax.track.batch import BatchTracker, ExtendedBatchTracker, locked_sink
+        from airjax.track.batch import build_batched_sink
 
-        if extended:
-            inner = ExtendedBatchTracker(
-                evict_after_s=self.evict_after_s, ref_position=self.ref_position
-            )
-        else:
-            inner = BatchTracker(evict_after_s=self.evict_after_s)
-        inner.aircrafts = self.aircrafts
+        sink, tracker = build_batched_sink(
+            self.aircrafts, self._lock, extended=extended,
+            evict_after_s=self.evict_after_s, ref_position=self.ref_position,
+        )
         app = self
 
         def applied(_icaos):
-            app.num_packets = inner.n_messages
+            app.num_packets = tracker.n_messages
 
-        inner.on_applied = applied
-        return locked_sink(inner, self._lock, extended=extended)
+        tracker.on_applied = applied
+        return sink
 
     def _drain(self):
         while True:

@@ -143,20 +143,17 @@ class WebDisplay:
         (web.rs:117-129) — that granularity stays the default for parity,
         but cannot keep up with the device's ~500k decoded msgs/s.
         Clients (app.js ingest keyed by ICAO) are granularity-agnostic."""
-        from airjax.track.batch import BatchTracker, ExtendedBatchTracker
+        from airjax.track.batch import build_batched_sink
 
-        if extended:
-            inner = ExtendedBatchTracker(
-                evict_after_s=self.evict_after_s, ref_position=self.ref_position
-            )
-        else:
-            inner = BatchTracker(evict_after_s=self.evict_after_s)
-        inner.aircrafts = self.aircrafts  # share: snapshot()/WS see updates
+        sink, tracker = build_batched_sink(
+            self.aircrafts, self._lock, extended=extended,
+            evict_after_s=self.evict_after_s, ref_position=self.ref_position,
+        )
         display = self
 
         def broadcast_applied(icaos):
             # Called by the tracker with display._lock ALREADY HELD (the
-            # wrapper below takes it around every update), so no locking
+            # locked sink takes it around every update), so no locking
             # here; the broadcast fan-out has its own lock.
             for icao in sorted(icaos):
                 a = display.aircrafts.get(icao)
@@ -166,11 +163,8 @@ class WebDisplay:
                     json.dumps(a.get_summary().to_json(extended=display.extended_schema))
                 )
 
-        inner.on_applied = broadcast_applied
-
-        from airjax.track.batch import locked_sink
-
-        return locked_sink(inner, self._lock, extended=extended)
+        tracker.on_applied = broadcast_applied
+        return sink
 
     # --- server ---
     def serve_forever(self) -> None:

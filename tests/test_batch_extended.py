@@ -396,8 +396,6 @@ def test_assemble_with_device_short_fields_matches_host(seed):
     arrays (production: decode_iq_block_extended_with_fields) or from
     the independent scalar host decode (oracle path: the same dict with
     short_fields removed)."""
-    from airjax.pipeline import decode_iq_block_extended
-
     rng = np.random.default_rng(seed)
     for _ in range(6):
         iq = _random_capture(rng)

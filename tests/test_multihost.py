@@ -58,6 +58,44 @@ def test_decode_capture_extended_single_process():
     assert stats["processes"] == 1 and stats["devices"] == n_dev
 
 
+def test_decode_capture_regrows_on_overflow():
+    """A detection storm denser than capacity_per_shard must regrow, not
+    silently truncate the hit list (the single-host sharded wrappers
+    already regrow; the multihost wrappers must match)."""
+    mesh = multihost.global_mesh()
+    n_dev = mesh.shape["t"]
+    n = 4096 * n_dev
+    frame = synth.make_df17(0x7C6B30, synth.make_id_me("MHOVF"))
+    # Three frames inside shard 0 alone: capacity 1 must overflow.
+    offsets = [300, 1200, 2400, n - 2000]
+    iq = synth.modulate([frame] * len(offsets), offsets, n, seed=7)
+    hits, stats = multihost.decode_capture(iq, capacity_per_shard=1)
+    got = {h[1] for h in hits if h[2] == frame}
+    assert got >= set(offsets)
+    assert stats["capacity_per_shard"] > 1  # the regrow loop fired
+    assert not stats["overflow"]
+
+
+def test_decode_capture_extended_regrows_on_overflow():
+    from airjax.protocol import shortframe
+    from airjax.protocol.packet import AllCallReply
+
+    mesh = multihost.global_mesh()
+    n_dev = mesh.shape["t"]
+    n = 4096 * n_dev
+    df11 = shortframe.make_df11(0x40621D)
+    offsets = [300, 1200, 2400, n - 2000]
+    iq = synth.modulate([df11] * len(offsets), offsets, n, seed=8)
+    packets, stats = multihost.decode_capture_extended(
+        iq, capacity_per_shard=1, now=100.0
+    )
+    by_off = {off: p for off, p in packets}
+    for off in offsets:
+        assert isinstance(by_off[off], AllCallReply)
+    assert stats["capacity_per_shard"] > 1
+    assert not stats["overflow"]
+
+
 def test_ingest_shape_validation():
     mesh = multihost.global_mesh()
     iq = np.zeros((1024 * mesh.shape["t"], 2), np.int16)

@@ -76,6 +76,7 @@ def sweep_extended(
     snrs_db=(0.0, 2.0, 4.0, 6.0, 8.0, 10.0, 14.0, 20.0),
     captures_per_snr: int = 8,
     capture_len: int = 24001,
+    check_golden: bool = False,
     seed: int = 0,
 ) -> dict:
     """Extended-mode sensitivity: per-kind decode rate vs SNR.
@@ -85,6 +86,8 @@ def sweep_extended(
     zero CRC residual — their curves legitimately differ from DF17's.
     Per capture: 2 DF17 (CRC-validated long), 2 DF11 (PI==CRC), and 2
     DF4 whose recovered icao_ap must equal the known transmitter.
+    With check_golden, the scalar oracle (golden.decode_chunk_extended)
+    recomputes every per-kind count and must agree exactly.
     """
     import jax
     import jax.numpy as jnp
@@ -104,6 +107,7 @@ def sweep_extended(
     curve = []
     for snr in snrs_db:
         got = {"df17": 0, "df11": 0, "df4": 0}
+        golden_got = {"df17": 0, "df11": 0, "df4": 0}
         per_kind_total = 2 * captures_per_snr
         for c in range(captures_per_snr):
             iq = synth.modulate(
@@ -127,15 +131,35 @@ def sweep_extended(
                     and int(out["icao_ap_short"][k]) == icao
                 )
                 got[kind] += bool(ok)
-        curve.append(
-            {
-                "snr_db": snr,
-                **{
-                    f"decode_rate_{k}": round(v / per_kind_total, 4)
-                    for k, v in got.items()
-                },
-            }
-        )
+            if check_golden:
+                ghits = {
+                    (o, kd): ap for o, kd, _, ap in golden.decode_chunk_extended(iq)
+                }
+                for i, off in enumerate(offsets):
+                    kind = ("df17", "df11", "df4")[i % 3]
+                    gok = (
+                        (off, "long") in ghits if kind == "df17"
+                        else (off, "df11") in ghits if kind == "df11"
+                        else ghits.get((off, "short_ap")) == icao
+                    )
+                    golden_got[kind] += bool(gok)
+        point = {
+            "snr_db": snr,
+            **{
+                f"decode_rate_{k}": round(v / per_kind_total, 4)
+                for k, v in got.items()
+            },
+        }
+        if check_golden:
+            for k in got:
+                point[f"golden_decode_rate_{k}"] = round(
+                    golden_got[k] / per_kind_total, 4
+                )
+                assert golden_got[k] == got[k], (
+                    f"extended pipeline diverged from golden decoder "
+                    f"({k} at {snr} dB: device {got[k]} vs golden {golden_got[k]})"
+                )
+        curve.append(point)
     return {"curve": curve, "frames_per_kind_per_capture": 2}
 
 
@@ -148,7 +172,15 @@ def main(argv=None) -> int:
     p.add_argument("--json", default=None)
     args = p.parse_args(argv)
     if args.extended:
-        result = sweep_extended(captures_per_snr=args.captures)
+        if args.frames != 8:
+            print(
+                "warning: --frames ignored in --extended mode "
+                "(fixed 2xDF17+2xDF11+2xDF4 layout)",
+                file=sys.stderr,
+            )
+        result = sweep_extended(
+            captures_per_snr=args.captures, check_golden=args.golden
+        )
     else:
         result = sweep(
             captures_per_snr=args.captures,
