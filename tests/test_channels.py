@@ -47,6 +47,39 @@ def test_eight_channels_match_single_device(mesh):
         ]
 
 
+def test_channels_regrow_on_overflow(mesh):
+    """A channel denser than the initial capacity must regrow, not
+    silently truncate that channel's hits."""
+    n = 8000
+    frame = synth.make_df17(0x7C6B30, synth.make_id_me("CHOVFL"))
+    offs = [500, 2000, 3500, 5000, 6500]
+    busy = synth.modulate([frame] * len(offs), offs, n, seed=9)
+    quiet = synth.modulate([], [], n, seed=10)
+    iq = np.stack([busy] + [quiet] * 7)
+
+    results = decode_channels(iq, mesh, capacity=1)
+    got = {h[1] for h in results[0] if h[2] == frame}
+    assert got >= set(offs)
+
+
+def test_channels_extended_regrow_on_overflow(mesh):
+    from airjax.parallel.channels import decode_channels_extended
+    from airjax.protocol import shortframe
+    from airjax.protocol.packet import AllCallReply
+
+    n = 8000
+    df11 = shortframe.make_df11(0x40621D)
+    offs = [500, 2000, 3500, 5000]
+    busy = synth.modulate([df11] * len(offs), offs, n, seed=11)
+    quiet = synth.modulate([], [], n, seed=12)
+    iq = np.stack([busy] + [quiet] * 7)
+
+    results = decode_channels_extended(iq, mesh, capacity=1, now=100.0)
+    by_off = {off: p for off, p in results[0]}
+    for off in offs:
+        assert isinstance(by_off[off], AllCallReply)
+
+
 def test_channel_cpr_position_decode(mesh):
     # An even+odd CPR pair on one channel must produce a global position
     # (the full config-4 flow: sharded decode -> host tracker).

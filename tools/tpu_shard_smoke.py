@@ -5,7 +5,9 @@ CPU mesh; this smoke proves the Mosaic lowering of the collective path
 works on the actual chip (a 1-device mesh still compiles and executes the
 full shard_map + ppermute + with_sharding_constraint program). Asserts
 hit-for-hit parity with the unsharded production pipeline on the same
-device, for both the DF17 parity decoder and the extended decoder.
+device, for both the DF17 parity decoder and the extended decoder, and
+runs the channel-parallel decoders (shard_map + lax.map over local
+channels) with per-channel parity against the unsharded pipeline.
 
 Run:  python tools/tpu_shard_smoke.py [--samples 1048576] [--frames 64]
 """
@@ -88,6 +90,47 @@ def main():
     )
     assert len(pkts) >= args.frames
 
+    # Channel-parallel paths (shard_map + lax.map over local channels):
+    # two channels, each a shorter capture with its own embedded frames.
+    from airjax.parallel.channels import decode_channels, decode_channels_extended
+    from airjax.parallel.mesh import make_mesh as _mm
+
+    ch_len = args.samples // 4
+    ch_offsets = [700, ch_len // 2, ch_len - 4000]
+    ch_iq = np.stack(
+        [
+            synth.modulate(
+                [frame] * len(ch_offsets), ch_offsets, ch_len,
+                noise_std=40.0, seed=100 + ch,
+            )
+            for ch in range(2)
+        ]
+    )
+    ch_mesh = _mm(1, axis="c")
+    t0 = time.perf_counter()
+    ch_hits = decode_channels(ch_iq, ch_mesh, capacity=256)
+    t_ch = time.perf_counter() - t0
+    for ch in range(2):
+        ref_hits, _ = decode_capture_overlap(ch_iq[ch])
+        assert [h[1] for h in ch_hits[ch]] == [h[1] for h in ref_hits], (
+            f"channel {ch} offsets != unsharded"
+        )
+        assert [h[2] for h in ch_hits[ch]] == [h[2] for h in ref_hits]
+    print(
+        f"[channels df17] per-channel hits={[len(h) for h in ch_hits]}, "
+        f"parity with unsharded, {t_ch:.1f}s (incl. compile)",
+        flush=True,
+    )
+    t0 = time.perf_counter()
+    ch_pkts = decode_channels_extended(ch_iq, ch_mesh)
+    t_che = time.perf_counter() - t0
+    assert all(len(p) >= len(ch_offsets) for p in ch_pkts)
+    print(
+        f"[channels extended] per-channel packets={[len(p) for p in ch_pkts]}, "
+        f"{t_che:.1f}s (incl. compile)",
+        flush=True,
+    )
+
     print(
         json.dumps(
             {
@@ -95,6 +138,8 @@ def main():
                 "n_hits_sharded": len(hits_sh),
                 "n_hits_unsharded": len(hits_un),
                 "n_packets_extended": len(pkts),
+                "channel_hits": [len(h) for h in ch_hits],
+                "channel_packets": [len(p) for p in ch_pkts],
                 "parity": True,
             }
         ),
