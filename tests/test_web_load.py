@@ -55,7 +55,7 @@ def _ws_connect(port: int) -> tuple[socket.socket, bytes]:
 
 
 def _read_frames(
-    s: socket.socket, n: int, timeout: float = 15.0, initial: bytes = b""
+    s: socket.socket, n: int, timeout: float = 60.0, initial: bytes = b""
 ) -> list[dict]:
     s.settimeout(timeout)
     buf = initial
