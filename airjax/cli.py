@@ -79,6 +79,18 @@ def _cmd_receive(args) -> int:
 
 
 def _cmd_adsb(args) -> int:
+    if args.trace:
+        # Device/host profile of the whole decode run (extension; view
+        # with TensorBoard or ui.perfetto.dev — airjax.observability).
+        from airjax import observability
+
+        with observability.trace(args.trace):
+            return _cmd_adsb_inner(args)
+    return _cmd_adsb_inner(args)
+
+
+def _cmd_adsb_inner(args) -> int:
+    from airjax import observability
     from airjax.config import DEFAULT_CONFIG
     from airjax.runner import run_stream
 
@@ -197,6 +209,7 @@ def _cmd_adsb(args) -> int:
             source, sink, overlap=overlap, plot_dir=args.plot_dir,
             extended=args.extended,
         )
+        observability.log_stats("adsb_stream_done", stats.as_dict())
     elif args.mode == "interactive":
         import threading
 
@@ -210,14 +223,22 @@ def _cmd_adsb(args) -> int:
             if args.batched
             else app.on_packet
         )
+        from airjax.runner import StreamStats
+
+        tui_stats = StreamStats()
         decode_thread = threading.Thread(
             target=run_stream,
             args=(source, tui_sink),
-            kwargs={"overlap": overlap, "extended": args.extended},
+            kwargs={
+                "overlap": overlap,
+                "extended": args.extended,
+                "stats": tui_stats,
+            },
             daemon=True,
         )
         decode_thread.start()
         interactive_display(app)
+        observability.log_stats("adsb_interactive_done", tui_stats.as_dict())
         # The daemon decode thread may still be mutating the shared table
         # (batched mode mutates under app._lock); hold the lock for a
         # consistent checkpoint. Per-packet mode only queues from the
@@ -248,6 +269,7 @@ def _cmd_adsb(args) -> int:
             stats = run_stream(
                 source, sink, overlap=overlap, extended=args.extended
             )
+            observability.log_stats("adsb_web_done", stats.as_dict())
             print("source exhausted; web server still running (Ctrl-C to quit)")
             import time
 
@@ -256,7 +278,11 @@ def _cmd_adsb(args) -> int:
         except KeyboardInterrupt:
             return 0
         finally:
-            _save_state(display.aircrafts)
+            # Same discipline as the TUI save above: the batched sink
+            # mutates the shared table under display._lock from this
+            # thread, but hold it anyway for symmetry/future threading.
+            with display._lock:
+                _save_state(display.aircrafts)
     else:  # pragma: no cover
         raise ValueError(args.mode)
 
@@ -325,6 +351,11 @@ def build_parser() -> argparse.ArgumentParser:
     adsb.add_argument(
         "--ref-lon", type=float, default=None,
         help="receiver longitude (enables surface-position decode)",
+    )
+    adsb.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="write a jax.profiler device/host trace of the run to DIR "
+        "(view in TensorBoard / Perfetto; extension)",
     )
     adsb.add_argument(
         "--evict-after", type=float, default=None, metavar="SECONDS",

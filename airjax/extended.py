@@ -237,6 +237,129 @@ def assemble_ap_candidates(
     return results
 
 
+# Inline class codes for the batched extended walk
+# (airjax.track.batch.ExtendedBatchTracker): tracker updates for these
+# kinds need no per-packet host decode, so the batched sink applies them
+# straight from field arrays. Values sit above the device msg_class /
+# msg_class_ext codes (airjax.protocol.fields, 0-3).
+CLS_ALLCALL = 8  # DF11 (validated or cache-gated interrogated): upsert
+CLS_SURV_ALT = 9  # DF4: altitude (when valid) + last_contact
+CLS_SURV_SQK = 10  # DF5: squawk + last_contact
+CLS_ACAS = 11  # DF0: altitude + on_ground(VS) + last_contact
+CLS_FALLBACK_LONG = 12  # pass-1 long frame -> AdsbPacket.from_bytes
+CLS_FALLBACK_PKT = 13  # pass-2 packet needing per-packet host decode
+
+
+def split_ap_candidates(
+    out: dict, now: float, cache: IcaoCache, min_offset: int | None = None
+) -> tuple[dict, list[tuple[int, ExtendedPacket]]]:
+    """Pass 2 for the batched sink: same ICAO-cache gating as
+    assemble_ap_candidates, but kinds whose tracker update is pure field
+    writes (DF4/DF5 surveillance, DF0 ACAS, interrogated DF11) come back
+    as parallel numpy arrays instead of packet objects; only DF16 (MV RA
+    decode) and DF20/21 (Comm-B BDS inference) build packets through the
+    per-packet path. Both halves are in ascending offset order.
+
+    Returns (simple, complex) where simple is a dict of equal-length
+    arrays {"off", "cls", "icao", "alt", "alt_valid", "squawk", "vs"}
+    (cls = the CLS_* codes above) and complex is [(offset, packet)].
+    Equivalence with assemble_ap_candidates' packet stream is enforced by
+    tests/test_batch_extended.py's state fuzz."""
+    offsets = np.asarray(out["offsets"])
+    frames_raw = np.asarray(out["frames_raw"])
+    df = np.asarray(out["df"])
+    cand_df11_ic = np.asarray(out["cand_df11_ic"])
+    cand_short = np.asarray(out["cand_short_ap"])
+    cand_long = np.asarray(out["cand_long_ap"])
+    icao_short = np.asarray(out["icao_ap_short"])
+    icao_long = np.asarray(out["icao_ap_long"])
+
+    empty = {
+        key: np.zeros(0, np.int64)
+        for key in ("off", "cls", "icao", "alt", "squawk", "vs")
+    }
+    # bool, NOT int: the consumer combines this into boolean masks, and
+    # an int dtype would silently flip them to integer fancy-indexing.
+    empty["alt_valid"] = np.zeros(0, bool)
+    ks = np.nonzero(cand_short | cand_long | cand_df11_ic)[0]
+    if min_offset is not None and len(ks):
+        ks = ks[offsets[ks] >= min_offset]
+    if not len(ks):
+        return empty, []
+
+    # Gate addresses: interrogated DF11s gate on the cleartext AA; AP
+    # frames on the parity-recovered ICAO.
+    aa = (
+        (frames_raw[ks, 1].astype(np.int64) << 16)
+        | (frames_raw[ks, 2].astype(np.int64) << 8)
+        | frames_raw[ks, 3]
+    )
+    gate_icao = np.where(
+        cand_df11_ic[ks],
+        aa,
+        np.where(cand_short[ks], icao_short[ks], icao_long[ks]),
+    ).astype(np.int64)
+    contains = cache.contains
+    accept = np.fromiter(
+        (contains(int(ic), now) for ic in gate_icao), bool, len(gate_icao)
+    )
+    ks, gate_icao = ks[accept], gate_icao[accept]
+    if not len(ks):
+        return empty, []
+
+    dfk = df[ks].astype(np.int64)
+    is_df11 = cand_df11_ic[ks].astype(bool)
+    simple_mask = is_df11 | np.isin(dfk, (0, 4, 5))
+    km = ks[simple_mask]
+    cls = np.select(
+        [
+            is_df11[simple_mask],
+            dfk[simple_mask] == 4,
+            dfk[simple_mask] == 5,
+        ],
+        [CLS_ALLCALL, CLS_SURV_ALT, CLS_SURV_SQK],
+        default=CLS_ACAS,
+    )
+    sf = out.get("short_fields")
+    if sf is not None:
+        alt = np.asarray(sf["altitude_ft"])[km].astype(np.int64)
+        alt_valid = np.asarray(sf["altitude_valid"])[km].astype(bool)
+        squawk = np.asarray(sf["squawk"])[km].astype(np.int64)
+        vs = np.asarray(sf["vs"])[km].astype(np.int64)
+    else:  # oracle path: independent scalar host decode per candidate
+        hosts = [_short_fields_host(frames_raw[k].tobytes()[:7]) for k in km]
+        alt = np.asarray(
+            [h["altitude_ft"] or 0 for h in hosts], np.int64
+        )
+        alt_valid = np.asarray(
+            [h["altitude_ft"] is not None for h in hosts], bool
+        )
+        squawk = np.asarray([h["squawk"] for h in hosts], np.int64)
+        vs = np.asarray([h["vs"] for h in hosts], np.int64)
+    simple = {
+        "off": offsets[km].astype(np.int64),
+        "cls": cls.astype(np.int64),
+        "icao": gate_icao[simple_mask],
+        "alt": np.where(alt_valid, alt, 0),
+        "alt_valid": alt_valid,
+        "squawk": squawk,
+        "vs": vs,
+    }
+
+    # Complex kinds (DF16 / DF20 / DF21) through the existing per-packet
+    # builder, gated-subset only; its own cache.contains re-checks pass.
+    complex_pkts: list[tuple[int, ExtendedPacket]] = []
+    kc = ks[~simple_mask]
+    if len(kc):
+        sub = dict(out)
+        keep = np.zeros(len(offsets), bool)
+        keep[kc] = True
+        for key in ("cand_short_ap", "cand_long_ap", "cand_df11_ic"):
+            sub[key] = np.asarray(out[key]) & keep
+        complex_pkts = assemble_ap_candidates(sub, now, cache)
+    return simple, complex_pkts
+
+
 def handle_extended_update(
     packet: ExtendedPacket, aircrafts: dict, ref_position=None
 ) -> None:

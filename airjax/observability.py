@@ -55,9 +55,13 @@ class StageTimer:
         try:
             yield
         finally:
-            dt = time.perf_counter() - t0
-            self.totals[name] = self.totals.get(name, 0.0) + dt
-            self.counts[name] = self.counts.get(name, 0) + 1
+            self.add(name, time.perf_counter() - t0)
+
+    def add(self, name: str, dt: float) -> None:
+        """Manual accounting for spans that don't nest as a `with` block
+        (e.g. a region ending mid-function in airjax.runner._process)."""
+        self.totals[name] = self.totals.get(name, 0.0) + dt
+        self.counts[name] = self.counts.get(name, 0) + 1
 
     def as_dict(self) -> dict:
         return {

@@ -37,6 +37,8 @@ TUNED_STREAM_MIN = 1 << 16
 
 class StreamStats:
     def __init__(self):
+        from airjax.observability import StageTimer
+
         self.blocks = 0
         self.samples = 0
         self.detections = 0
@@ -44,6 +46,12 @@ class StreamStats:
         self.recovered = 0
         self.overflow_blocks = 0
         self.started = time.time()
+        # Host-side per-stage wall-clock accounting (always on — a few
+        # perf_counter calls per BLOCK): dispatch (block prep + jitted
+        # decode dispatch), fetch (device result transfer + overflow
+        # regrow), apply (packet assembly + sink). The reference's only
+        # analogue is two commented-out counters (src/adsb.rs:93-94,120).
+        self.stages = StageTimer()
 
     def as_dict(self) -> dict:
         dt = max(time.time() - self.started, 1e-9)
@@ -55,6 +63,7 @@ class StreamStats:
             "recovered": self.recovered,
             "overflow_blocks": self.overflow_blocks,
             "msamples_per_s": round(self.samples / dt / 1e6, 3),
+            "stages": self.stages.as_dict(),
         }
 
 
@@ -142,14 +151,18 @@ def run_stream(
 
     def _process(entry) -> None:
         ext, n_off, base, now, n_samples, out_dev = entry
-        out = jax.device_get(out_dev)
-        # Adaptive overflow regrow (synchronous — overflow is rare and
-        # dropped detections would silently lose frames).
-        overflowed = bool(out["overflow"])
-        capacity = cfg.max_candidates
-        while bool(out["overflow"]) and capacity < n_off:
-            capacity = min(capacity * 4, n_off)
-            out = jax.device_get(decode_fn(jnp.asarray(ext), n_off, capacity))
+        with stats.stages.stage("fetch"):
+            out = jax.device_get(out_dev)
+            # Adaptive overflow regrow (synchronous — overflow is rare
+            # and dropped detections would silently lose frames).
+            overflowed = bool(out["overflow"])
+            capacity = cfg.max_candidates
+            while bool(out["overflow"]) and capacity < n_off:
+                capacity = min(capacity * 4, n_off)
+                out = jax.device_get(
+                    decode_fn(jnp.asarray(ext), n_off, capacity)
+                )
+        t_apply = time.perf_counter()
         emitted = 0
         if extended and ext_batch_fn is not None:
             # min_offset masks application (not cache seeding) of the
@@ -190,6 +203,7 @@ def run_stream(
                         detection_offset=0,
                         title=f"frame @ {base + local if overlap else local}",
                     )
+        stats.stages.add("apply", time.perf_counter() - t_apply)
         # The tail flush is an extra decode call, not a source block
         # (its entry carries n_samples=0): it must not skew block counts.
         stats.blocks += 1 if n_samples else 0
@@ -236,7 +250,8 @@ def run_stream(
         else:
             n_off = block.shape[0] - WINDOW
             ext = block
-        out_dev = decode_fn(jnp.asarray(ext), n_off, cfg.max_candidates)
+        with stats.stages.stage("dispatch"):
+            out_dev = decode_fn(jnp.asarray(ext), n_off, cfg.max_candidates)
         inflight.append(
             (ext, n_off, global_base, time.time(), block.shape[0], out_dev)
         )

@@ -22,6 +22,13 @@ class IcaoCache:
     def add(self, icao: int, now: float | None = None) -> None:
         self._seen[icao] = time.time() if now is None else now
 
+    def add_many(self, icaos, now: float | None = None) -> None:
+        """Bulk add (one dict update — the batched sink seeds a whole
+        block's pass-1 ICAOs at once). Same state as repeated add()."""
+        self._seen.update(
+            dict.fromkeys(icaos, time.time() if now is None else now)
+        )
+
     def contains(self, icao: int, now: float | None = None) -> bool:
         t = self._seen.get(icao)
         if t is None:

@@ -170,8 +170,26 @@ def bench(block_len=1 << 24, n_blocks=1, capacity=2048, r_small=2, r_big=42):
 
 
 if __name__ == "__main__":
+    import contextlib
+    import sys
+
+    # `bench.py --trace [DIR]`: wrap the whole run in a jax.profiler
+    # trace (airjax.observability). The contract JSON line is unchanged
+    # (trace status goes through logging, not stdout).
+    ctx = contextlib.nullcontext()
+    if "--trace" in sys.argv:
+        from airjax.observability import trace
+
+        i = sys.argv.index("--trace")
+        trace_dir = (
+            sys.argv[i + 1]
+            if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-")
+            else "/tmp/airjax_bench_trace"
+        )
+        ctx = trace(trace_dir)
     try:
-        print(json.dumps(bench()))
+        with ctx:
+            print(json.dumps(bench()))
     except Exception as e:  # always emit the contract line
         print(
             json.dumps(

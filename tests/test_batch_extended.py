@@ -389,6 +389,31 @@ def test_min_offset_seeds_cache_without_applying():
     assert bt.aircrafts[0x40621D].altitude == 7000
 
 
+@pytest.mark.parametrize("seed", [70, 71, 72])
+def test_vectorized_apply_equals_ordered_walk(seed):
+    """The vectorized last-wins apply (_vapply, fallback-free blocks) and
+    the ordered walk (_walk) are two implementations of the same block
+    semantics; force the SAME random blocks through both and require
+    identical tracker + cache state. (The fuzz above checks each against
+    the per-packet oracle on whichever path a block naturally takes;
+    this pins the two internal paths against each other directly.)"""
+    rng = np.random.default_rng(seed)
+    bt_v = ExtendedBatchTracker(ref_position=REF_POS)
+    cache_v = IcaoCache()
+    bt_w = ExtendedBatchTracker(ref_position=REF_POS)
+    bt_w._force_walk = True
+    cache_w = IcaoCache()
+    t = 1000.0
+    for _ in range(8):
+        t += float(rng.choice([0.5, 3.0, 11.0]))
+        out = _decode(_random_capture(rng))
+        a_v = bt_v.on_extended_block(out, t, cache_v)
+        a_w = bt_w.on_extended_block(out, t, cache_w)
+        assert a_v == a_w
+        assert cache_v._seen == cache_w._seen
+        _assert_equal_state(bt_w.aircrafts, bt_v.aircrafts)
+
+
 @pytest.mark.parametrize("seed", [30, 31])
 def test_assemble_with_device_short_fields_matches_host(seed):
     """assemble_extended must produce the IDENTICAL typed packet stream

@@ -71,48 +71,54 @@ def build_stream(n_messages: int, n_aircraft: int = 64) -> np.ndarray:
     return np.frombuffer(b"".join(seq), np.uint8).reshape(n_messages, 14)
 
 
-def build_extended_block(n_aircraft: int = 64):
-    """One realistic extended-mode decode block: per aircraft an ID, an
-    even+odd position pair and a TC19 velocity (the batched fast-path
-    classes), plus DF11 all-calls and cache-gated DF4 surveillance
-    replies (per-packet fallback classes) for half the fleet. Returns the
-    device dict of decode_iq_block_extended_with_fields."""
+def build_extended_block(n_aircraft: int = 64, repeats: int = 3):
+    """One realistic extended-mode decode block: per aircraft-and-repeat
+    an ID, an even+odd position pair and a TC19 velocity (the batched
+    fast-path classes), plus DF11 all-calls and cache-gated DF4
+    surveillance replies for half the fleet. Returns the device dict of
+    decode_iq_block_extended_with_fields.
+
+    `repeats=3` sizes the block at ~960 messages — matching the DEVICE's
+    block granularity at bench density (BENCH_r03: 516,608 msgs/s over
+    507 passes/s ≈ 1019 msgs per decode block) and the parity bench's
+    1024-frame blocks, so host and device rates compare like for like."""
     from airjax.pipeline import decode_iq_block_extended_with_fields
     from airjax.protocol import shortframe
 
     frames = []
-    for a in range(n_aircraft):
-        icao = 0x100000 + a
-        frames.append(synth.make_df17(icao, synth.make_id_me(f"AC{a:05d}")))
-        frames.append(
-            synth.make_df17(
-                icao,
-                synth.make_position_me(
-                    tc=11, altitude_ft=10000 + a * 25,
-                    cpr_lat=93000, cpr_lon=51372, odd=False,
-                ),
+    for r in range(repeats):
+        for a in range(n_aircraft):
+            icao = 0x100000 + a
+            frames.append(synth.make_df17(icao, synth.make_id_me(f"AC{a:05d}")))
+            frames.append(
+                synth.make_df17(
+                    icao,
+                    synth.make_position_me(
+                        tc=11, altitude_ft=10000 + a * 25 + r,
+                        cpr_lat=93000 + r, cpr_lon=51372, odd=False,
+                    ),
+                )
             )
-        )
-        frames.append(
-            synth.make_df17(
-                icao,
-                synth.make_position_me(
-                    tc=11, altitude_ft=10000 + a * 25,
-                    cpr_lat=74158, cpr_lon=50194, odd=True,
-                ),
+            frames.append(
+                synth.make_df17(
+                    icao,
+                    synth.make_position_me(
+                        tc=11, altitude_ft=10000 + a * 25 + r,
+                        cpr_lat=74158 + r, cpr_lon=50194, odd=True,
+                    ),
+                )
             )
-        )
-        frames.append(
-            synth.make_df17(
-                icao,
-                synth.make_velocity_me(
-                    ew_kt=100 + a, ns_kt=-50, vertical_rate_fpm=640
-                ),
+            frames.append(
+                synth.make_df17(
+                    icao,
+                    synth.make_velocity_me(
+                        ew_kt=100 + a, ns_kt=-50, vertical_rate_fpm=640
+                    ),
+                )
             )
-        )
-        if a % 2 == 0:
-            frames.append(shortframe.make_df11(icao))
-            frames.append(shortframe.make_df4(icao, 10000 + a * 25))
+            if a % 2 == 0:
+                frames.append(shortframe.make_df11(icao))
+                frames.append(shortframe.make_df4(icao, 10000 + a * 25))
     spacing = 400
     n = ((len(frames) * spacing + 2048) // 1024) * 1024
     iq = synth.modulate(
@@ -120,11 +126,11 @@ def build_extended_block(n_aircraft: int = 64):
     )
     out = jax.device_get(
         decode_iq_block_extended_with_fields(
-            jnp.asarray(iq), n - 240, 2048
+            jnp.asarray(iq), n - 240, 4096
         )
     )
     n_good = int(np.sum(np.asarray(out["good_long"]) | np.asarray(out["good_df11"])))
-    assert n_good >= len(frames) - n_aircraft, (n_good, len(frames))
+    assert n_good >= len(frames) - n_aircraft * repeats, (n_good, len(frames))
     return out, len(frames)
 
 

@@ -117,6 +117,13 @@ def sweep_extended(
             out = jax.device_get(
                 decode_iq_block_extended(jnp.asarray(iq), n_off, 512)
             )
+            # A noisy capture overflowing the 512-candidate capacity
+            # would silently drop embedded offsets and could spuriously
+            # trip the --golden divergence assert below (ADVICE r3).
+            assert not bool(out["overflow"]), (
+                f"candidate capacity overflow at snr={snr} dB; raise "
+                "the capacity in sweep_extended"
+            )
             offs = np.asarray(out["offsets"])
             for i, off in enumerate(offsets):
                 k = np.nonzero(offs == off)[0]
