@@ -125,29 +125,20 @@ def decode_capture(
     return hits, stats
 
 
-def decode_capture_extended(
-    local_iq: np.ndarray,
-    capacity_per_shard: int = 2048,
-    axis: str = TIME_AXIS,
-    now: float = 0.0,
-    cache=None,
-):
-    """Extended-mode (every Mode S downlink format) multi-host decode.
-
-    Same contract as decode_capture — every process contributes its own
-    contiguous span, every host gathers the identical result — but the
-    pod runs the extended sharded pipeline
-    (airjax.parallel.halo.build_sharded_decoder_extended) and the result
-    is the ordered typed packet list of airjax.extended.assemble_extended
-    (the ICAO acceptance cache sees every CRC-validated frame in the
-    capture before any AP-addressed candidate is gated, identical to a
-    single-block decode). Returns ([(global_offset, packet)], stats).
-    """
+def _gather_extended_arrays(
+    local_iq: np.ndarray, capacity_per_shard: int, axis: str
+) -> tuple[dict, dict]:
+    """Shared core of the extended multi-host decoders: run the sharded
+    extended pipeline over the pod (with overflow regrow), then
+    process_allgather the small candidate arrays so every host holds the
+    identical gathered dict. Returns (gathered, stats)."""
     from jax.experimental import multihost_utils
 
-    from airjax.extended import assemble_extended
-    from airjax.parallel.halo import _EXT_DATA_KEYS, _EXT_MASK_KEYS
-    from airjax.track.icao_cache import IcaoCache
+    from airjax.parallel.halo import (
+        _EXT_DATA_KEYS,
+        _EXT_MASK_KEYS,
+        build_sharded_decoder_extended,
+    )
 
     mesh = global_mesh(axis)
     n_dev = mesh.shape[axis]
@@ -157,8 +148,6 @@ def decode_capture_extended(
         raise ValueError(
             f"global samples {n_global} not divisible by {n_dev} devices"
         )
-    from airjax.parallel.halo import build_sharded_decoder_extended
-
     iq_global = ingest_process_local(local, mesh, axis)
     step = build_sharded_decoder_extended(
         mesh, n_global, capacity_per_shard, axis
@@ -182,10 +171,6 @@ def decode_capture_extended(
     } if jax.process_count() > 1 else {
         k: np.asarray(jax.device_get(out[k])) for k in keys
     }
-
-    packets = assemble_extended(
-        gathered, now, cache if cache is not None else IcaoCache()
-    )
     stats = {
         "n_detections": int(jax.device_get(out["n_detections"])),
         "n_good_long": int(np.sum(gathered["good_long"])),
@@ -195,4 +180,83 @@ def decode_capture_extended(
         "processes": jax.process_count(),
         "devices": n_dev,
     }
+    return gathered, stats
+
+
+def decode_capture_extended(
+    local_iq: np.ndarray,
+    capacity_per_shard: int = 2048,
+    axis: str = TIME_AXIS,
+    now: float = 0.0,
+    cache=None,
+):
+    """Extended-mode (every Mode S downlink format) multi-host decode.
+
+    Same contract as decode_capture — every process contributes its own
+    contiguous span, every host gathers the identical result — but the
+    pod runs the extended sharded pipeline
+    (airjax.parallel.halo.build_sharded_decoder_extended) and the result
+    is the ordered typed packet list of airjax.extended.assemble_extended
+    (the ICAO acceptance cache sees every CRC-validated frame in the
+    capture before any AP-addressed candidate is gated, identical to a
+    single-block decode). Returns ([(global_offset, packet)], stats).
+    """
+    from airjax.extended import assemble_extended
+    from airjax.track.icao_cache import IcaoCache
+
+    gathered, stats = _gather_extended_arrays(
+        local_iq, capacity_per_shard, axis
+    )
+    packets = assemble_extended(
+        gathered, now, cache if cache is not None else IcaoCache()
+    )
     return packets, stats
+
+
+def attach_candidate_fields(gathered: dict) -> dict:
+    """Attach `fields` / `short_fields` to a gathered extended candidate
+    dict in place, making it a valid input for the batched sink
+    (airjax.track.batch.ExtendedBatchTracker.on_extended_block — same
+    arrays decode_iq_block_extended_with_fields fuses on a single chip,
+    airjax.pipeline:240). On a pod the per-candidate extraction is tiny
+    (K frames x integer ops), so it runs AFTER the allgather on the
+    replicated arrays instead of inside the sharded program."""
+    from airjax.protocol.fields import extract_fields
+    from airjax.protocol.shortframe import extract_short_fields
+
+    gathered["fields"] = jax.device_get(
+        extract_fields(jnp.asarray(gathered["frames"]))
+    )
+    raw7 = jnp.asarray(gathered["frames_raw"])[..., :7].astype(jnp.int32)
+    bits56 = (
+        (raw7[..., None] >> jnp.arange(7, -1, -1, dtype=jnp.int32)) & 1
+    ).reshape(*raw7.shape[:-1], 56)
+    gathered["short_fields"] = jax.device_get(extract_short_fields(bits56))
+    return gathered
+
+
+def decode_capture_extended_batched(
+    local_iq: np.ndarray,
+    tracker,
+    capacity_per_shard: int = 2048,
+    axis: str = TIME_AXIS,
+    now: float = 0.0,
+    cache=None,
+):
+    """Multi-host extended decode driving a BATCHED tracker sink.
+
+    Every host gathers the identical candidate arrays, attaches the
+    per-candidate field arrays, and applies ONE on_extended_block to
+    `tracker` (airjax.track.batch.ExtendedBatchTracker) — so every
+    host's tracker replica converges to the same aircraft state without
+    any packet-object stream. Returns (messages_applied, stats)."""
+    from airjax.track.icao_cache import IcaoCache
+
+    gathered, stats = _gather_extended_arrays(
+        local_iq, capacity_per_shard, axis
+    )
+    attach_candidate_fields(gathered)
+    applied = tracker.on_extended_block(
+        gathered, now, cache if cache is not None else IcaoCache()
+    )
+    return applied, stats

@@ -52,6 +52,27 @@ def main() -> None:
         eiq[rank * half : (rank + 1) * half], now=100.0
     )
 
+    # Batched sink from the gathered arrays (VERDICT r3 item 3): every
+    # rank applies the identical block to its own tracker replica; the
+    # parent asserts both replicas AND the per-packet path agree.
+    from airjax.track.batch import ExtendedBatchTracker
+
+    tracker = ExtendedBatchTracker()
+    applied, bstats = multihost.decode_capture_extended_batched(
+        eiq[rank * half : (rank + 1) * half], tracker, now=100.0
+    )
+    tracker_state = {
+        f"{icao:06x}": {
+            "callsign": a.callsign,
+            "altitude": a.altitude,
+            # An untouched last_contact is Aircraft.__init__'s wall-clock
+            # default and legitimately differs between processes; only
+            # synthetic stamps (now=100.0) are comparable.
+            "last_contact": a.last_contact if a.last_contact < 1e9 else None,
+        }
+        for icao, a in tracker.aircrafts.items()
+    }
+
     print(
         "RESULT "
         + json.dumps(
@@ -64,6 +85,9 @@ def main() -> None:
                 "expected_ext": eoffsets,
                 "epackets": [[off, type(p).__name__] for off, p in packets],
                 "estats": estats,
+                "batched_applied": applied,
+                "batched_stats": bstats,
+                "tracker_state": tracker_state,
             }
         ),
         flush=True,
