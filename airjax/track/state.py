@@ -40,6 +40,8 @@ _PLAIN_ATTRS = (
     "selected_altitude_ft",
     "selected_heading_deg",
     "acas_ra",
+    "bds_candidates",
+    "gicb_supported",
     "altitude",
     "last_contact",
     "on_ground",

@@ -293,3 +293,139 @@ def test_unambiguous_bds_candidates_single_entry():
     if a.bds_candidates == ["5,0"]:
         # Unambiguous 5,0: the velocity reading IS applied.
         assert a.ground_speed_kt == 440.0
+
+
+# ---------------------------------------------------------------------------
+# BDS 4,4 / 5,3 + capability-driven disambiguation (VERDICT r3 item 4)
+# ---------------------------------------------------------------------------
+
+
+def make_bds44(wind_kt=40, wind_dir_deg=225.0, temp_c=-45.0, press_hpa=1013,
+               humidity_pct=25.0):
+    temp_raw = round(temp_c / 0.25) & 0x7FF
+    return _pack_fields(
+        (0, 4),
+        (1, 1), (wind_kt, 9), (round(wind_dir_deg * 256 / 180), 9),
+        (temp_raw, 11),
+        (1, 1), (press_hpa, 11),
+        (0, 1), (0, 2),
+        (1, 1), (round(humidity_pct * 64 / 100), 6),
+    )
+
+
+def make_bds53(heading_deg=100.0, ias_kt=250, mach=0.6, tas_kt=280, vs_fpm=-640):
+    hdg = round((heading_deg if heading_deg < 180 else heading_deg - 360) / (90 / 512)) & 0x7FF
+    return _pack_fields(
+        (1, 1), (hdg, 11),
+        (1, 1), (ias_kt, 10),
+        (1, 1), (round(mach / 0.008), 9),
+        (1, 1), (round(tas_kt / 0.5), 12),
+        (1, 1), (round(vs_fpm / 64) & 0x1FF, 9),
+    )
+
+
+def test_bds44_roundtrip_and_reject():
+    d = commb.decode_bds44(make_bds44())
+    assert d is not None
+    assert d["wind_speed_kt"] == 40
+    assert abs(d["wind_dir_deg"] - 225.0) < 0.5
+    assert d["static_air_temp_c"] == -45.0
+    assert d["avg_static_pressure_hpa"] == 1013
+    assert abs(d["humidity_pct"] - 25.0) < 1.0
+    # Implausible wind speed or temperature rejects.
+    assert commb.decode_bds44(make_bds44(wind_kt=400)) is None
+    assert commb.decode_bds44(make_bds44(temp_c=75.0)) is None
+
+
+def test_bds53_roundtrip_and_reject():
+    d = commb.decode_bds53(make_bds53())
+    assert d is not None
+    assert abs(d["magnetic_heading_deg"] - 100.0) < 0.2
+    assert d["ias_kt"] == 250
+    assert abs(d["mach"] - 0.6) < 0.005
+    assert d["tas_kt"] == 280.0
+    assert d["vs_fpm"] == -640
+    assert commb.decode_bds53(make_bds53(ias_kt=900)) is None
+    # TAS far below IAS is physically impossible -> reject.
+    assert commb.decode_bds53(make_bds53(ias_kt=400, tas_kt=100)) is None
+
+
+def test_infer_bds_includes_44_53():
+    assert "4,4" in commb.infer_bds(make_bds44())
+    assert "5,3" in commb.infer_bds(make_bds53())
+
+
+def test_capability_prunes_ambiguous_candidates():
+    """The classic 5,0-vs-6,0 ambiguity resolves once the aircraft's
+    BDS 1,7 GICB report announces it services 5,0 but not 6,0: the
+    candidate list shrinks to ['5,0'] and the 5,0 velocity applies."""
+    mb = bytes.fromhex("e21b371b29fc99")  # validates as BOTH 5,0 and 6,0
+    d = commb.infer_bds(mb)
+    assert {"5,0", "6,0"} <= set(d)
+
+    aircrafts = {}
+    # Without a capability report: ambiguous, nothing applied.
+    handle_extended_update(
+        SurveillanceReply(
+            df=20, icao=ICAO, flight_status=0, altitude_ft=None, squawk=None,
+            time_processed=1.0, bds=d,
+        ),
+        aircrafts,
+    )
+    assert len(aircrafts[ICAO].bds_candidates) > 1
+    assert aircrafts[ICAO].ground_speed_kt is None
+
+    # BDS 1,7 report: transponder services 2,0/4,0/5,0 — NOT 6,0.
+    cap = commb.infer_bds(make_bds17(reg_bits=("2,0", "4,0", "5,0")))
+    assert set(cap) == {"1,7"}
+    handle_extended_update(
+        SurveillanceReply(
+            df=20, icao=ICAO, flight_status=0, altitude_ft=None, squawk=None,
+            time_processed=2.0, bds=cap,
+        ),
+        aircrafts,
+    )
+    assert aircrafts[ICAO].gicb_supported == ["2,0", "4,0", "5,0"]
+
+    # Same ambiguous MB again: now pruned to 5,0 and APPLIED.
+    handle_extended_update(
+        SurveillanceReply(
+            df=20, icao=ICAO, flight_status=0, altitude_ft=None, squawk=None,
+            time_processed=3.0, bds=commb.infer_bds(mb),
+        ),
+        aircrafts,
+    )
+    a = aircrafts[ICAO]
+    assert a.bds_candidates == ["5,0"]
+    assert a.ground_speed_kt == commb.decode_bds50(mb)["ground_speed_kt"]
+
+
+def test_capability_prune_never_empties():
+    """A capability report that rules out EVERY candidate must not
+    suppress the reading entirely (stale 1,7 defense): the original
+    candidate set is kept."""
+    mb = bytes.fromhex("e21b371b29fc99")
+    d = commb.infer_bds(mb)
+    pruned = commb.prune_by_capability(d, ["2,0"])  # supports neither
+    assert pruned == d
+    # Single candidates are never pruned either.
+    assert commb.prune_by_capability({"5,0": {}}, ["2,0"]) == {"5,0": {}}
+
+
+def test_gicb_capability_survives_checkpoint(tmp_path):
+    from airjax.track.state import load_state, save_state
+
+    aircrafts = {}
+    cap = commb.infer_bds(make_bds17(reg_bits=("2,0", "5,0")))
+    handle_extended_update(
+        SurveillanceReply(
+            df=20, icao=ICAO, flight_status=0, altitude_ft=None, squawk=None,
+            time_processed=2.0, bds=cap,
+        ),
+        aircrafts,
+    )
+    path = tmp_path / "state.json"
+    save_state(aircrafts, path)
+    restored = load_state(path)
+    assert restored[ICAO].gicb_supported == ["2,0", "5,0"]
+    assert restored[ICAO].bds_candidates == ["1,7"]
