@@ -207,7 +207,7 @@ def _cmd_adsb_inner(args) -> int:
             sink = tee(sink, jsonl_writer(args.jsonl))
         stats = run_stream(
             source, sink, overlap=overlap, plot_dir=args.plot_dir,
-            extended=args.extended,
+            extended=args.extended, dump_preamble=args.dump_preamble,
         )
         observability.log_stats("adsb_stream_done", stats.as_dict())
     elif args.mode == "interactive":
@@ -322,6 +322,12 @@ def build_parser() -> argparse.ArgumentParser:
     adsb.add_argument("--port", type=int, default=8080)
     adsb.add_argument(
         "--plot-dir", default=None, help="dump an SVG magnitude plot per frame"
+    )
+    adsb.add_argument(
+        "--dump-preamble", action="store_true",
+        help="stream mode: print a textual preamble dump (block graph + "
+        "magnitude/index table) per decoded frame (the reference's "
+        "print_preamble helpers, src/visualise.rs:38-62)",
     )
     adsb.add_argument(
         "--jsonl", default=None, help="append decoded packets as JSON lines"

@@ -77,6 +77,7 @@ def run_stream(
     plot_dir: str | None = None,
     extended: bool = False,
     pipeline_depth: int = 1,
+    dump_preamble: bool = False,
 ) -> StreamStats:
     """Consume a block source until exhausted; call on_packet per frame.
 
@@ -108,7 +109,12 @@ def run_stream(
     # measures ~114k msgs/s, 4.4x short of the device's decoded-msgs rate.
     # Parity (DF17) mode only; extended mode and plot_dir keep per-packet.
     batch_fn = getattr(on_packet, "on_fields", None)
-    if batch_fn is not None and not extended and plot_dir is None:
+    if (
+        batch_fn is not None
+        and not extended
+        and plot_dir is None
+        and not dump_preamble
+    ):
         from airjax.pipeline import decode_iq_block_with_fields as _decode_b
     else:
         batch_fn = None
@@ -117,7 +123,12 @@ def run_stream(
     # everything else through the exact per-packet path, interleaved in
     # offset order (airjax/track/batch.py).
     ext_batch_fn = getattr(on_packet, "on_extended_block", None)
-    if not (extended and ext_batch_fn is not None and plot_dir is None):
+    if not (
+        extended
+        and ext_batch_fn is not None
+        and plot_dir is None
+        and not dump_preamble
+    ):
         ext_batch_fn = None
     if extended:
         from airjax.extended import assemble_extended
@@ -177,6 +188,16 @@ def run_stream(
             for local, pkt in assemble_extended(out, now, icao_cache):
                 if overlap and base + local < 0:
                     continue
+                if dump_preamble:
+                    from airjax import golden, visualise
+
+                    window = ext[local : local + 16]
+                    print(
+                        visualise.dump_preamble(
+                            golden.magnitude(window),
+                            offset=base + local if overlap else local,
+                        )
+                    )
                 on_packet(pkt)
                 emitted += 1
         elif batch_fn is not None:
@@ -193,16 +214,24 @@ def run_stream(
                     AdsbPacket.from_bytes(out["frames"][k].tobytes(), now)
                 )
                 emitted += 1
-                if plot_dir is not None:
+                if plot_dir is not None or dump_preamble:
                     from airjax import golden, visualise
 
                     window = ext[local : local + WINDOW]
-                    visualise.plot_adsb_frame(
-                        golden.magnitude(window),
-                        out_dir=plot_dir,
-                        detection_offset=0,
-                        title=f"frame @ {base + local if overlap else local}",
-                    )
+                    goff = base + local if overlap else local
+                    if plot_dir is not None:
+                        visualise.plot_adsb_frame(
+                            golden.magnitude(window),
+                            out_dir=plot_dir,
+                            detection_offset=0,
+                            title=f"frame @ {goff}",
+                        )
+                    if dump_preamble:
+                        print(
+                            visualise.dump_preamble(
+                                golden.magnitude(window[:16]), offset=goff
+                            )
+                        )
         stats.stages.add("apply", time.perf_counter() - t_apply)
         # The tail flush is an extra decode call, not a source block
         # (its entry carries n_samples=0): it must not skew block counts.

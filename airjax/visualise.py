@@ -62,3 +62,37 @@ def format_preamble_ascii(mags: np.ndarray, threshold: float) -> str:
     marks = "".join("+" if m >= threshold else "-" for m in mags)
     ruler = "".join(str(i % 10) for i in range(len(mags)))
     return f"{marks}\n{ruler}"
+
+
+def format_preamble(mags: np.ndarray) -> str:
+    """Textual preamble dump: one row of the 16 preamble magnitudes, one
+    row of sample indices, both center-padded to 5 like the reference's
+    print_preamble (src/visualise.rs:38-50, its ' {:^5} ' format)."""
+    mags = np.asarray(mags)[:16]
+    values = "".join(f" {int(m):^5} " for m in mags)
+    indices = "".join(f" {i:^5} " for i in range(len(mags)))
+    return f"{values}\n{indices}"
+
+
+_BLOCKS = "▁▂▃▄▅▆▇█"  # U+2581..U+2588, the ramp the reference started
+
+
+def format_preamble_graph(mags: np.ndarray) -> str:
+    """One-line block-character magnitude graph of the preamble — the
+    completed form of the reference's stubbed print_preamble_graph
+    (src/visualise.rs:53-62, which computes max_val then prints a single
+    U+2581 and stops): each sample maps to one of 8 block heights
+    scaled by the window maximum."""
+    mags = np.asarray(mags, dtype=np.float64)[:16]
+    peak = float(mags.max()) if len(mags) else 0.0
+    if peak <= 0:
+        return _BLOCKS[0] * len(mags)
+    levels = np.minimum((mags / peak * 8).astype(int), 7)
+    return "".join(_BLOCKS[lv] for lv in levels)
+
+
+def dump_preamble(mags: np.ndarray, offset: int | None = None) -> str:
+    """Full textual detection dump (`adsb --dump-preamble`): block graph
+    + value/index table of the 16 preamble samples."""
+    head = f"preamble @ {offset}\n" if offset is not None else ""
+    return f"{head}{format_preamble_graph(mags)}\n{format_preamble(mags)}"
