@@ -174,3 +174,95 @@ def test_checkpoint_roundtrips_batched_stash(tmp_path):
     handle_aircraft_update(AdsbPacket.from_bytes(f_odd, 501.0), restored)
     geo = restored[0x4840D6].geo_position
     assert geo is not None and abs(geo.latitude - 52.26578) < 1e-3
+
+
+def test_midstream_kill_and_resume_e2e(tmp_path):
+    """Operational checkpoint story (VERDICT r3 item 6): stream a capture
+    through run_stream, stop after N blocks (a kill), snapshot, restart a
+    fresh process-equivalent with the restored table and the remaining
+    blocks — the final aircraft table must equal the uninterrupted run,
+    INCLUDING a CPR pair whose even frame arrived before the restart and
+    whose odd frame arrives after it, through both the per-packet and the
+    batched sink."""
+    import numpy as np
+
+    from airjax.io import synth
+    from airjax.runner import run_stream
+    from airjax.track.batch import BatchTracker, mirror_stash
+
+    chunk, n_chunks = 4000, 4
+    n = chunk * n_chunks
+    icao2 = 0xABCDEF
+    frames = [
+        synth.make_df17(0x40621D, synth.make_id_me("RESUME")),
+        bytes.fromhex(EVEN_HEX),  # even frame BEFORE the kill point
+        synth.make_df17(icao2, synth.make_id_me("OTHER")),
+        bytes.fromhex(ODD_HEX),  # odd frame AFTER the restart
+    ]
+    # Interrupt after chunk 2: even in chunk 1, odd in chunk 3, nothing
+    # straddling the kill boundary (a restart legitimately drops the
+    # overlap carry, so a straddler would differ by design).
+    offsets = [600, chunk + 600, 2 * chunk + 600, 3 * chunk + 600]
+    iq = synth.modulate(frames, offsets, n, seed=41)
+    chunks = [iq[i : i + chunk] for i in range(0, n, chunk)]
+    kill_after = 3  # blocks consumed before the "kill"
+
+    def table_equal(a_tab, b_tab):
+        assert a_tab.keys() == b_tab.keys()
+        for icao, a in a_tab.items():
+            b = b_tab[icao]
+            assert a.callsign == b.callsign, hex(icao)
+            assert a.altitude == b.altitude, hex(icao)
+            mirror_stash(a), mirror_stash(b)
+            assert a.last_even_packet == b.last_even_packet, hex(icao)
+            assert a.last_odd_packet == b.last_odd_packet, hex(icao)
+            assert (a.geo_position is None) == (b.geo_position is None)
+            if a.geo_position is not None:
+                assert a.geo_position.latitude == b.geo_position.latitude
+                assert a.geo_position.longitude == b.geo_position.longitude
+
+    for batched in (False, True):
+        # --- uninterrupted run ---
+        if batched:
+            full = BatchTracker()
+            run_stream(iter(chunks), full, overlap=True)
+            full_tab = full.aircrafts
+        else:
+            full_tab = {}
+            run_stream(
+                iter(chunks),
+                lambda p: handle_aircraft_update(p, full_tab),
+                overlap=True,
+            )
+        assert full_tab[0x40621D].geo_position is not None
+
+        # --- interrupted run: kill, snapshot, restore, resume ---
+        if batched:
+            part = BatchTracker()
+            run_stream(iter(chunks[:kill_after]), part, overlap=True)
+            part_tab = part.aircrafts
+        else:
+            part_tab = {}
+            run_stream(
+                iter(chunks[:kill_after]),
+                lambda p: handle_aircraft_update(p, part_tab),
+                overlap=True,
+            )
+        assert part_tab[0x40621D].geo_position is None  # pair still open
+        path = tmp_path / f"state_{batched}.json"
+        state.save_state(part_tab, path)
+
+        restored = state.load_state(path)  # "new process"
+        if batched:
+            resumed = BatchTracker()
+            resumed.aircrafts = restored
+            run_stream(iter(chunks[kill_after:]), resumed, overlap=True)
+        else:
+            run_stream(
+                iter(chunks[kill_after:]),
+                lambda p: handle_aircraft_update(p, restored),
+                overlap=True,
+            )
+        # The odd frame paired against the RESTORED even stash.
+        assert restored[0x40621D].geo_position is not None
+        table_equal(full_tab, restored)

@@ -55,9 +55,20 @@ def _ws_connect(port: int) -> tuple[socket.socket, bytes]:
 
 
 def _read_frames(
-    s: socket.socket, n: int, timeout: float = 60.0, initial: bytes = b""
+    s: socket.socket,
+    n: int,
+    initial: bytes = b"",
+    stall_timeout: float = 20.0,
+    total_timeout: float = 300.0,
 ) -> list[dict]:
-    s.settimeout(timeout)
+    """Progress-based frame reader (VERDICT r3 item 8): the one observed
+    flake here was closed by widening a flat per-read deadline, which
+    tells you nothing when it recurs. Instead assert LIVENESS — fail only
+    when the stream stalls (zero bytes for `stall_timeout`) or the total
+    budget is exhausted; a slow machine that keeps trickling bytes
+    passes, a wedged server fails with a diagnostic of how far it got."""
+    deadline = time.monotonic() + total_timeout
+    s.settimeout(stall_timeout)
     buf = initial
     out: list[dict] = []
     while len(out) < n:
@@ -75,7 +86,23 @@ def _read_frames(
             out.append(json.loads(buf[off : off + ln]))
             buf = buf[off + ln :]
         if len(out) < n:
-            buf += s.recv(65536)
+            if time.monotonic() > deadline:
+                raise AssertionError(
+                    f"WS read budget exhausted at {len(out)}/{n} frames "
+                    f"(kept making progress but too slowly)"
+                )
+            try:
+                chunk = s.recv(65536)
+            except socket.timeout:
+                raise AssertionError(
+                    f"WS stream stalled: no bytes for {stall_timeout}s "
+                    f"at {len(out)}/{n} frames ({len(buf)} bytes buffered)"
+                )
+            if not chunk:
+                raise AssertionError(
+                    f"WS closed early at {len(out)}/{n} frames"
+                )
+            buf += chunk
     return out
 
 
