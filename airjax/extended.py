@@ -6,8 +6,8 @@ Turns the device-side candidate dict of
   pass 1 (in offset order): CRC-validated frames — DF17+ long frames (the
   reference path, emitted as AdsbPacket) and DF11 all-call replies —
   registering their ICAOs in the acceptance cache;
-  pass 2: AP-addressed DF4/5/20/21 candidates accepted only when their
-  parity-recovered ICAO is in the cache (see airjax.track.icao_cache).
+  pass 2: AP-addressed DF0/4/5/16/20/21/24 candidates accepted only when
+  their parity-recovered ICAO is in the cache (airjax.track.icao_cache).
 """
 
 from __future__ import annotations
@@ -21,11 +21,14 @@ from airjax.protocol.packet import (
     AcasReply,
     AdsbPacket,
     AllCallReply,
+    CommDReply,
     SurveillanceReply,
 )
 from airjax.track.icao_cache import IcaoCache
 
-ExtendedPacket = Union[AcasReply, AdsbPacket, AllCallReply, SurveillanceReply]
+ExtendedPacket = Union[
+    AcasReply, AdsbPacket, AllCallReply, CommDReply, SurveillanceReply
+]
 
 
 def _gillham_altitude_host(ac13: np.ndarray) -> int | None:
@@ -213,6 +216,23 @@ def assemble_ap_candidates(
                 )
             )
             continue
+        if d >= 24:  # Comm-D ELM segment (AP-addressed like DF20/21)
+            results.append(
+                (
+                    off,
+                    CommDReply(
+                        icao=icao,
+                        ke=(raw[0] >> 4) & 1,
+                        nd=raw[0] & 0xF,
+                        md=raw[1:11],
+                        time_processed=now,
+                        # The 5-bit field runs 24-31 (its low bits are
+                        # KE/ND); report the canonical format number.
+                        df=24,
+                    ),
+                )
+            )
+            continue
         bds = None
         if d in (20, 21):
             from airjax.protocol.commb import infer_bds
@@ -373,6 +393,14 @@ def handle_extended_update(
         return
     aircraft = aircrafts.setdefault(packet.icao, Aircraft(packet.icao))
     aircraft.last_contact = packet.time_processed
+    if isinstance(packet, CommDReply):
+        # ELM segment stash (keys stringified: JSON checkpoints would
+        # silently convert int keys anyway). A full ELM is the in-order
+        # concatenation of segments 0..ND_max once all arrive.
+        if aircraft.commd_segments is None:
+            aircraft.commd_segments = {}
+        aircraft.commd_segments[str(packet.nd)] = packet.md.hex()
+        return
     if isinstance(packet, AcasReply):
         if packet.altitude_ft is not None:
             aircraft.altitude = packet.altitude_ft

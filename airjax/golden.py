@@ -100,7 +100,7 @@ def decode_chunk_extended(iq_chunk: np.ndarray) -> list[tuple[int, str, bytes, i
 
     Returns (offset, kind, frame_bytes, icao_ap) tuples where kind is one
     of 'long' (CRC-validated 112-bit, recovery applied), 'df11'
-    (PI==CRC), 'short_ap' (DF4/5 candidate), 'long_ap' (DF20/21
+    (PI==CRC), 'short_ap' (DF4/5 candidate), 'long_ap' (DF16/20/21/24+
     candidate); icao_ap is the parity-recovered address (0 for 'long').
     """
     mags = magnitude(iq_chunk)
@@ -115,7 +115,7 @@ def decode_chunk_extended(iq_chunk: np.ndarray) -> list[tuple[int, str, bytes, i
         if df >= 16:
             calced = crc24(packet[:11])
             pcrc = (packet[11] << 16) | (packet[12] << 8) | packet[13]
-            if df in (16, 20, 21):
+            if df in (16, 20, 21) or df >= 24:  # DF24+: Comm-D ELM, AP
                 if calced ^ pcrc:  # address 0 is not a real aircraft
                     hits.append((i, "long_ap", packet, calced ^ pcrc))
                 continue

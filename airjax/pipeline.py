@@ -159,14 +159,17 @@ def decode_mags_block_extended(
     # Long-frame path (reference semantics incl. recovery).
     long_bits, long_ok, long_rec = crc_check_and_recover(bits)
     is_long = df >= 16
-    # AP-addressed long frames (DF16 ACAS long air-air, DF20/21 Comm-B):
+    # AP-addressed long frames (DF16 ACAS long air-air, DF20/21 Comm-B,
+    # DF24 Comm-D ELM):
     # residual = ICAO (no recovery possible); they are excluded from the
     # CRC-validated class even when the residual happens to be 0, and
     # address-0 candidates are dropped outright (0 is not a real aircraft
     # and the host ICAO cache could never accept it — this also keeps
     # degenerate all-zero streams, whose frames decode as address 0, from
     # flooding the candidate capacity).
-    is_long_ap = (df == 16) | (df == 20) | (df == 21)
+    # DF24+ (first two bits '11', df field 24-31) is Comm-D ELM — also
+    # AP-addressed (ICAO Annex 10 v4 3.1.2.7.3).
+    is_long_ap = (df == 16) | (df == 20) | (df == 21) | (df >= 24)
     good_long = long_ok & is_long & valid & ~is_long_ap
     calced_long = crc24_batch(bits[..., :DATA_BITS])
     pcrc_long = pack_bits_msbfirst(bits[..., DATA_BITS:], 24)

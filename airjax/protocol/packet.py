@@ -675,6 +675,35 @@ class AcasReply:
         return "\n".join(lines) + "\n"
 
 
+@dataclasses.dataclass
+class CommDReply:
+    """DF24+ (first two bits '11') Comm-D extended-length message (ELM)
+    segment — ICAO Annex 10 v4 3.1.2.7.3. AP-addressed like DF20/21;
+    the repo extension the reference has no analogue for (it decodes no
+    non-DF17 frames at all).
+
+    Frame layout: bits 1-2 '11', bit 3 spare, bit 4 KE (control: 1 =
+    downlink ELM transmission ack), bits 5-8 ND (segment number), bits
+    9-88 MD (80-bit message segment), 89-112 AP.
+    """
+
+    icao: int
+    ke: int
+    nd: int  # D-segment number, 0-15
+    md: bytes  # 10-byte segment payload
+    time_processed: float
+    df: int = 24
+
+    def format(self) -> str:
+        return (
+            f"== DF24 Comm-D ELM ==\n"
+            f"ICAO            : {self.icao:06X}\n"
+            f"KE              : {self.ke}\n"
+            f"Segment (ND)    : {self.nd}\n"
+            f"MD              : {self.md.hex()}\n"
+        )
+
+
 # ADS-B-shaped ME gating for non-DF17 extended squitters (extension):
 # DF18 CF values whose ME uses the DF17 layout (0/1/6 ADS-B, 2/5
 # fine-format TIS-B) and DF19 AF values (military; only 0). Shared with

@@ -334,6 +334,18 @@ def make_df20(
     return body + bytes([(ap >> 16) & 0xFF, (ap >> 8) & 0xFF, ap & 0xFF])
 
 
+def make_df24(icao: int, nd: int = 0, md: bytes = b"\x00" * 10, ke: int = 0) -> bytes:
+    """Assemble a 14-byte DF24 Comm-D ELM segment addressed via AP
+    (first two bits '11', bit 4 KE, bits 5-8 ND, bits 9-88 MD)."""
+    if len(md) != 10:
+        raise ValueError("MD field must be 10 bytes")
+    if not 0 <= nd <= 15:
+        raise ValueError("ND must be 0-15")
+    body = bytes([0b11000000 | ((ke & 1) << 4) | nd]) + md
+    ap = crc24(body) ^ icao
+    return body + bytes([(ap >> 16) & 0xFF, (ap >> 8) & 0xFF, ap & 0xFF])
+
+
 def make_df21(
     icao: int, squawk: int, mb: bytes = b"\x00" * 7, fs: int = 0, dr: int = 0, um: int = 0
 ) -> bytes:

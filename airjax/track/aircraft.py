@@ -106,6 +106,8 @@ class Aircraft:
         # Extension (BDS 1,7): GICB registers the transponder announced
         # it services; prunes ambiguous Comm-B inferences (commb.py).
         self.gicb_supported: Optional[list] = None
+        # Extension (DF24 Comm-D): ELM segment stash {str(nd): md_hex}.
+        self.commd_segments: Optional[dict] = None
         self.altitude = 0
         self.geo_position: Optional[GeographicPosition] = None
         self.last_contact = now

@@ -42,6 +42,7 @@ _PLAIN_ATTRS = (
     "acas_ra",
     "bds_candidates",
     "gicb_supported",
+    "commd_segments",
     "altitude",
     "last_contact",
     "on_ground",

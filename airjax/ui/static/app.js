@@ -168,6 +168,12 @@ function draw() {
     screenPos.xs.push(x);
     screenPos.ys.push(y);
   }
+  // Reference utils.ts:9-11: measured text height off the canvas.
+  function getTextMetrics(sample) {
+    const m = ctx.measureText(sample);
+    if (m.actualBoundingBoxAscent == null) return [-1, -1];
+    return [m.actualBoundingBoxAscent, m.actualBoundingBoxDescent];
+  }
   const hoverIcao = hitIcao();
   for (let i = 0; i < screenPos.icaos.length; i += 1) {
     const a = aircraft.get(screenPos.icaos[i]);
@@ -208,18 +214,25 @@ function draw() {
         lines.push(`BDS?     ${a.bdsCandidates.join("/")} (ambiguous)`);
       }
       const pw = 210 * devicePixelRatio;
+      const [asc, desc] = getTextMetrics(lines[0]);
+      const pad = 4 * devicePixelRatio;
+      const adv = lineAdvance(asc, desc, pad, devicePixelRatio);
+      const ph = panelHeight(asc, desc, pad, lines.length, devicePixelRatio);
       ctx.fillStyle = "rgba(16,26,56,0.95)";
-      ctx.fillRect(x + 22, y - 10, pw, 14 + 16 * lines.length);
+      ctx.fillRect(x + 22, y - 10, pw, ph);
       ctx.strokeStyle = "#39508c";
-      ctx.strokeRect(x + 22, y - 10, pw, 14 + 16 * lines.length);
+      ctx.strokeRect(x + 22, y - 10, pw, ph);
       ctx.fillStyle = "#dfe7ff";
-      lines.forEach((l, i2) => ctx.fillText(l, x + 30, y + 8 + 16 * i2));
+      lines.forEach((l, i2) => ctx.fillText(l, x + 30, y + 8 + adv * i2));
     }
   }
 
-  // Stats box + table of aircraft without positions (main.ts:64-137).
+  // Stats box + table of aircraft without positions (main.ts:64-137);
+  // cell height measured per main.ts:87's get_text_height usage.
+  const [tAsc, tDesc] = getTextMetrics("0");
+  const cellH = lineAdvance(tAsc, tDesc, 4 * devicePixelRatio, devicePixelRatio);
   ctx.fillStyle = "#101a38";
-  ctx.fillRect(8, 8, 330 * devicePixelRatio, 48 + 16 * aircraft.size);
+  ctx.fillRect(8, 8, 330 * devicePixelRatio, 48 + cellH * aircraft.size);
   ctx.fillStyle = "#9fb4ea";
   let ty = 26;
   ctx.fillText(`aircraft: ${aircraft.size}  msgs: ${packets}`, 16, ty);
@@ -229,7 +242,7 @@ function draw() {
     ctx.fillText(
       `${a.icao.toString(16).padStart(6, "0")} ${a.callsign || "-"} ${a.altitude}ft (no pos)`,
       16, ty);
-    ty += 16;
+    ty += cellH;
   }
 
   requestAnimationFrame(draw);

@@ -86,3 +86,25 @@ function isFresh(now, seen) {
   if (now - seen < 15) { return 1; }
   return 0;
 }
+
+// Measured-text line layout (the reference's get_text_height helper,
+// utils.ts:9-11, and the padding + text_height line advance its call
+// sites use, main.ts:43-52 / aircraft.ts:90-93). Ascent/descent < 0
+// encode "metrics unavailable" (old canvas): fall back to the fixed
+// 16 px rows this app used before the helper existed.
+function textHeight(ascent, descent) {
+  if (ascent < 0) { return -1; }
+  if (descent < 0) { return -1; }
+  return ascent + descent;
+}
+
+function lineAdvance(ascent, descent, pad, dpr) {
+  const th = textHeight(ascent, descent);
+  if (th <= 0) { return 16 * dpr; }
+  return pad + th;
+}
+
+// Panel height: 2*pad margins + one advance per line (aircraft.ts:93).
+function panelHeight(ascent, descent, pad, nLines, dpr) {
+  return 2 * pad + lineAdvance(ascent, descent, pad, dpr) * nLines;
+}

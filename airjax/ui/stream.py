@@ -33,9 +33,15 @@ def jsonl_writer(path: str):
         if not isinstance(packet, AdsbPacket):
             # Extension frames (DF11 / DF4/5/20/21) have their own shape.
             record = {"icao": f"{packet.icao:06x}", "time": packet.time_processed}
-            for attr in ("capability", "df", "flight_status", "altitude_ft", "squawk"):
+            for attr in (
+                "capability", "df", "flight_status", "altitude_ft",
+                "squawk", "ke", "nd",
+            ):
                 if getattr(packet, attr, None) is not None:
                     record[attr] = getattr(packet, attr)
+            md = getattr(packet, "md", None)
+            if md is not None:
+                record["md"] = md.hex()
             f.write(json.dumps(record) + "\n")
             return
         record = {

@@ -197,7 +197,7 @@ long long airjax_decode_chunk(const int16_t* iq, long long n_samples,
 // Extended-mode scalar decoder (extension; mirrors the classification of
 // airjax.golden.decode_chunk_extended): preamble-only gate, then per
 // candidate:
-//   DF 16/20/21         -> kind 3 (long AP candidate, icao = crc ^ field;
+//   DF 16/20/21/24+     -> kind 3 (long AP candidate, icao = crc ^ field;
 //                          dropped when the address is 0 — not a real
 //                          aircraft, keeps all-zero streams from flooding)
 //   DF >= 16 otherwise  -> kind 0 when CRC validates (1-bit recovery
@@ -243,7 +243,7 @@ long long airjax_decode_chunk_extended(
       uint32_t calced = airjax_crc24(bytes, 11);
       uint32_t pcrc = ((uint32_t)bytes[11] << 16) | ((uint32_t)bytes[12] << 8) |
                       bytes[13];
-      if (df == 16 || df == 20 || df == 21) {
+      if (df == 16 || df == 20 || df == 21 || df >= 24) {
         icao_ap = calced ^ pcrc;
         if (icao_ap) kind = 3;
       } else if (calced == pcrc) {

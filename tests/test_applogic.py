@@ -143,3 +143,28 @@ def test_app_js_uses_the_shared_logic():
         < index.index('src="applogic.js"')
         < index.index('src="app.js"')
     )
+
+
+def test_text_metrics_layout(js):
+    # Measured path: ascent 9, descent 3 at pad 4 -> advance 16, and the
+    # reference's panel formula 2*pad + advance*n (aircraft.ts:93).
+    assert js["textHeight"](9.0, 3.0) == 12.0
+    assert js["lineAdvance"](9.0, 3.0, 4.0, 2.0) == 16.0
+    assert js["panelHeight"](9.0, 3.0, 4.0, 6.0, 2.0) == 8.0 + 16.0 * 6
+    # Metrics unavailable (-1): the historical fixed 16 px * dpr rows.
+    assert js["textHeight"](-1.0, 3.0) == -1.0
+    assert js["lineAdvance"](-1.0, -1.0, 4.0, 2.0) == 32.0
+    assert js["panelHeight"](-1.0, -1.0, 4.0, 3.0, 1.0) == 8.0 + 16.0 * 3
+
+
+def test_app_uses_measured_text_metrics():
+    """app.js must derive line spacing from canvas text metrics (the
+    reference's get_text_height, utils.ts:9-11) — no hardcoded 16 px
+    row advances left in the panel/table drawing."""
+    app = (STATIC / "app.js").read_text()
+    assert "measureText" in app
+    assert "actualBoundingBoxAscent" in app
+    for fn in ("getTextMetrics(", "lineAdvance(", "panelHeight("):
+        assert fn in app, f"app.js does not use {fn}"
+    assert "16 * i2" not in app and "16 * lines.length" not in app
+    assert "16 * aircraft.size" not in app

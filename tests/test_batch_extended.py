@@ -40,7 +40,7 @@ def _random_frame(rng) -> bytes:
     DF18 CF), DF11 all-calls (plain + interrogated) and AP-addressed
     short/long surveillance frames."""
     icao = ICAOS[rng.integers(len(ICAOS))]
-    kind = int(rng.integers(0, 14))
+    kind = int(rng.integers(0, 15))
     if kind == 0:
         cs = "".join(chr(ord("A") + rng.integers(26)) for _ in range(6))
         return synth.make_df17(icao, synth.make_id_me(cs))
@@ -118,9 +118,15 @@ def _random_frame(rng) -> bytes:
         return shortframe.make_df4(icao, alt, fs=int(rng.integers(0, 6)))
     if kind == 12:
         return shortframe.make_df5(icao, squawk)
-    if rng.random() < 0.5:
-        return shortframe.make_df20(icao, alt)
-    return shortframe.make_df21(icao, squawk)
+    if kind == 13:
+        if rng.random() < 0.5:
+            return shortframe.make_df20(icao, alt)
+        return shortframe.make_df21(icao, squawk)
+    return shortframe.make_df24(  # Comm-D ELM (per-packet fallback)
+        icao, nd=int(rng.integers(0, 16)),
+        md=bytes(rng.integers(0, 256, 10, dtype=np.uint8)),
+        ke=int(rng.integers(0, 2)),
+    )
 
 
 def _random_capture(rng) -> np.ndarray:
@@ -163,6 +169,8 @@ _SCALARS = (
     "selected_heading_deg",
     "acas_ra",
     "bds_candidates",
+    "gicb_supported",
+    "commd_segments",
 )
 
 

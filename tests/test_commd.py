@@ -1,0 +1,134 @@
+"""DF24 Comm-D ELM support (extension depth): classification in all
+three oracles (device pipeline / golden scalar / native C++), cache-gated
+assembly into CommDReply, tracker segment stash, checkpoint survival."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from airjax import golden
+from airjax.extended import assemble_extended, handle_extended_update
+from airjax.io import synth
+from airjax.pipeline import decode_iq_block_extended_with_fields
+from airjax.protocol import shortframe
+from airjax.protocol.packet import CommDReply
+from airjax.track.icao_cache import IcaoCache
+
+ICAO = 0x7C6B30
+N = 8000
+MD = bytes(range(10, 20))
+
+
+def _capture(nd=5, ke=1, md=MD):
+    frames = [
+        synth.make_df17(ICAO, synth.make_id_me("COMMD")),  # seeds cache
+        shortframe.make_df24(ICAO, nd=nd, md=md, ke=ke),
+    ]
+    return synth.modulate(frames, [500, 2500], N, seed=17), frames
+
+
+def _decode(iq):
+    return jax.device_get(
+        decode_iq_block_extended_with_fields(jnp.asarray(iq), N - 240, 64)
+    )
+
+
+def test_device_classifies_df24_as_long_ap():
+    iq, _ = _capture()
+    out = _decode(iq)
+    k = np.nonzero(np.asarray(out["offsets"]) == 2500)[0]
+    assert len(k) == 1
+    k = k[0]
+    assert bool(out["cand_long_ap"][k])
+    assert not bool(out["good_long"][k])
+    assert int(out["df"][k]) >= 24
+    assert int(out["icao_ap_long"][k]) == ICAO
+
+
+def test_golden_oracle_matches():
+    iq, frames = _capture()
+    hits = golden.decode_chunk_extended(iq)
+    by_off = {off: (kind, pkt, ap) for off, kind, pkt, ap in hits}
+    kind, pkt, ap = by_off[2500]
+    assert kind == "long_ap"
+    assert ap == ICAO
+    assert pkt == frames[1]
+
+
+def test_native_oracle_matches():
+    from airjax import native
+
+    iq, frames = _capture()
+    hits, _n_det = native.decode_chunk_extended(np.asarray(iq))
+    by_off = {h[0]: h for h in hits}
+    _off, kind, pkt, ap = by_off[2500]
+    assert kind == "long_ap"
+    assert ap == ICAO
+    assert pkt == frames[1]
+
+
+def test_assembly_gated_and_typed():
+    iq, _ = _capture(nd=7, ke=0)
+    out = _decode(iq)
+    pkts = assemble_extended(out, 100.0, IcaoCache())
+    commd = [p for _off, p in pkts if isinstance(p, CommDReply)]
+    assert len(commd) == 1
+    assert commd[0].icao == ICAO
+    assert commd[0].nd == 7 and commd[0].ke == 0
+    assert commd[0].md == MD
+    assert "Comm-D ELM" in commd[0].format()
+
+    # Without the cache-seeding DF17, the AP candidate is gated off.
+    lone = synth.modulate(
+        [shortframe.make_df24(ICAO, nd=7, md=MD)], [500], N, seed=18
+    )
+    pkts2 = assemble_extended(_decode(lone), 100.0, IcaoCache())
+    assert not any(isinstance(p, CommDReply) for _o, p in pkts2)
+
+
+def test_tracker_stashes_segments_and_checkpoints(tmp_path):
+    from airjax.track.state import load_state, save_state
+
+    aircrafts = {}
+    for nd, md in ((0, bytes(10)), (1, MD)):
+        handle_extended_update(
+            CommDReply(icao=ICAO, ke=1, nd=nd, md=md, time_processed=50.0),
+            aircrafts,
+        )
+    a = aircrafts[ICAO]
+    assert a.commd_segments == {"0": bytes(10).hex(), "1": MD.hex()}
+    assert a.last_contact == 50.0
+
+    path = tmp_path / "s.json"
+    save_state(aircrafts, path)
+    restored = load_state(path)
+    assert restored[ICAO].commd_segments == a.commd_segments
+
+
+def test_jsonl_record(tmp_path):
+    from airjax.ui.stream import jsonl_writer
+    import json
+
+    path = tmp_path / "out.jsonl"
+    sink = jsonl_writer(str(path))
+    sink(CommDReply(icao=ICAO, ke=1, nd=3, md=MD, time_processed=9.0))
+    rec = json.loads(path.read_text())
+    assert rec["df"] == 24 and rec["nd"] == 3 and rec["ke"] == 1
+    assert rec["md"] == MD.hex()
+
+
+def test_batched_sink_equivalence_with_df24():
+    """DF24 routes through the batched sink's complex fallback; tracker
+    state must equal the per-packet path (segment stash included)."""
+    from airjax.track.batch import ExtendedBatchTracker
+
+    iq, _ = _capture(nd=2, ke=1)
+    out = _decode(iq)
+    per = {}
+    cp = IcaoCache()
+    for _off, pkt in assemble_extended(out, 100.0, cp):
+        handle_extended_update(pkt, per)
+    bt = ExtendedBatchTracker()
+    assert bt.on_extended_block(out, 100.0, IcaoCache()) == 2
+    assert per[ICAO].commd_segments == bt.aircrafts[ICAO].commd_segments
+    assert bt.aircrafts[ICAO].commd_segments == {"2": MD.hex()}

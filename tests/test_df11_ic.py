@@ -58,12 +58,19 @@ def test_df11_ic_does_not_seed_cache():
 
 
 def test_df11_large_residual_not_a_candidate():
-    # Residual >= 80 cannot be an II/SI code: classified as nothing.
+    # Residual >= 80 cannot be an II/SI code: never a df11_ic candidate.
+    # (The raw bitstream past the 56-bit DF11 may still pattern-match
+    # another AP-addressed class — since DF24 support, first-two-bits-'11'
+    # windows classify as cache-gated long_ap candidates; those are
+    # legitimately present and gated off downstream.)
     iq = _capture(interrogator=0x5FEA3C, with_seed_frame=False)
     gold = golden.decode_chunk_extended(iq)
-    assert gold == []
+    assert not any(k == "df11_ic" for _, k, _, _ in gold)
     out = _decode(iq)
     assert not np.any(out["cand_df11_ic"] & out["valid"])
+    # Anything that did classify is AP-gated: no cache seed, no packet.
+    pkts = extended.assemble_extended(out, 100.0, IcaoCache())
+    assert pkts == []
 
 
 def test_df11_ic_three_way_oracle_agreement():

@@ -33,7 +33,7 @@ from airjax.protocol import shortframe  # noqa: E402
 
 def random_frame(rng: np.random.Generator) -> bytes:
     icao = int(rng.integers(0, 1 << 24))
-    kind = int(rng.integers(0, 9))
+    kind = int(rng.integers(0, 10))
     if kind == 0:
         return synth.make_df17(icao, synth.make_id_me("X" + str(rng.integers(10, 99))))
     if kind == 1:
@@ -64,6 +64,12 @@ def random_frame(rng: np.random.Generator) -> bytes:
         return shortframe.make_df4(icao, alt, fs=int(rng.integers(0, 6)), gillham=gillham)
     if kind == 7:
         return shortframe.make_df5(icao, squawk)
+    if kind == 9:  # DF24 Comm-D ELM segment
+        return shortframe.make_df24(
+            icao, nd=int(rng.integers(0, 16)),
+            md=bytes(rng.integers(0, 256, 10, dtype=np.uint8)),
+            ke=int(rng.integers(0, 2)),
+        )
     if rng.random() < 0.5:
         return shortframe.make_df20(icao, alt, gillham=gillham)
     return shortframe.make_df21(icao, squawk)

@@ -32,6 +32,60 @@ from airjax.io import synth  # noqa: E402
 from airjax.runner import run_stream  # noqa: E402
 
 
+def _rss_mb() -> float:
+    """Resident set size in MB (Linux /proc)."""
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+class MemWatch:
+    """RSS sampler for long soaks (VERDICT r3 item 7): proves the
+    long-run story — memory plateaus instead of creeping. Samples RSS on
+    a thread; verdict() compares the late-phase peak against the
+    post-warmup peak (first quarter is warmup: compile caches, buffer
+    pools and the tracker reaching steady state)."""
+
+    def __init__(self, interval_s: float = 5.0):
+        import threading
+
+        self.samples: list[tuple[float, float]] = []
+        self._stop = threading.Event()
+        self._t0 = time.time()
+
+        def loop():
+            while not self._stop.wait(interval_s):
+                self.samples.append((time.time() - self._t0, _rss_mb()))
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def finish(self) -> dict:
+        self._stop.set()
+        self._thread.join(timeout=2)
+        self.samples.append((time.time() - self._t0, _rss_mb()))
+        return self.verdict()
+
+    def verdict(self, slack_mb: float = 32.0, ratio: float = 1.10) -> dict:
+        n = len(self.samples)
+        rss = [r for _, r in self.samples]
+        if n < 4:
+            return {"rss_ok": True, "rss_samples": n, "rss_end_mb": rss[-1] if rss else 0}
+        warm = rss[max(1, n // 4):]  # drop the warmup quarter
+        early_peak = max(warm[: max(1, len(warm) // 2)])
+        late_peak = max(warm[len(warm) // 2:])
+        return {
+            "rss_ok": late_peak <= early_peak * ratio + slack_mb,
+            "rss_samples": n,
+            "rss_start_mb": round(rss[0], 1),
+            "rss_early_peak_mb": round(early_peak, 1),
+            "rss_late_peak_mb": round(late_peak, 1),
+            "rss_end_mb": round(rss[-1], 1),
+        }
+
+
 def boundary_stream(block: int, stop_flag: dict, seed: int = 0):
     """Endless blocks; each carries a mid-block frame plus a frame whose
     head sits in this block and whose tail crosses into the next one.
@@ -102,18 +156,25 @@ def sdr_soak(seconds: float, extended: bool = False) -> int:
     return 0 if d["boundary_loss"] == 0 and d["blocks"] > 0 else 1
 
 
-def extended_boundary_stream(block: int, stop_flag: dict, seed: int = 0):
+def extended_boundary_stream(
+    block: int, stop_flag: dict, seed: int = 0, rotate: int = 0
+):
     """Extended-mode variant of boundary_stream: per block a mid-block
     DF17, a mid-block DF11 all-call (short-frame class) and a DF17
-    straddling the boundary. Expected decodes after B blocks: 3B - 1."""
+    straddling the boundary. Expected decodes after B blocks: 3B - 1.
+
+    With rotate=N, each block's DF17s use ICAO 0x7C0000 + (b mod N) —
+    an endless parade of distinct aircraft, so an evicting tracker must
+    stay bounded (the no-tracker-growth memcheck assertion)."""
     from airjax.protocol import shortframe
 
-    df17 = synth.make_df17(0x7C6B30, synth.make_id_me("SOAKEXT"))
     df11 = shortframe.make_df11(0x40621D)
     window = 240
     tail = None
     b = 0
     while not stop_flag.get("stop"):
+        icao = 0x7C0000 + (b % rotate) if rotate else 0x7C6B30
+        df17 = synth.make_df17(icao, synth.make_id_me("SOAKEXT"))
         seg = synth.modulate(
             [df17, df11, df17],
             [2000, 6000, block - 120],
@@ -128,18 +189,27 @@ def extended_boundary_stream(block: int, stop_flag: dict, seed: int = 0):
         b += 1
 
 
-def extended_soak(seconds: float, block: int) -> int:
+def extended_soak(
+    seconds: float,
+    block: int,
+    memcheck: bool = False,
+    rotate: int = 0,
+    evict: float | None = None,
+) -> int:
     """Soak the extended-mode BATCHED host path (ExtendedBatchTracker ->
     on_extended_block): continuous stream, zero boundary loss, tracker
-    consistency (both ICAOs present, callsign applied)."""
+    consistency. With memcheck, additionally assert the long-run story:
+    RSS plateaus, no block ever needed a capacity regrow (ratchet), and
+    with rotation+eviction the tracker table stays bounded."""
     from airjax.track.batch import ExtendedBatchTracker
 
     stop = {}
     t0 = time.time()
-    bt = ExtendedBatchTracker()
+    bt = ExtendedBatchTracker(evict_after_s=evict)
+    mem = MemWatch() if memcheck else None
 
     def timed_stream():
-        for blk in extended_boundary_stream(block, stop):
+        for blk in extended_boundary_stream(block, stop, rotate=rotate):
             if time.time() - t0 > seconds:
                 return
             yield blk
@@ -147,10 +217,23 @@ def extended_soak(seconds: float, block: int) -> int:
     stats = run_stream(timed_stream(), bt, overlap=True, extended=True)
     d = stats.as_dict()
     expected = 3 * d["blocks"] - 1  # final straddler never completes
-    ok_tracker = (
-        set(bt.aircrafts) == {0x7C6B30, 0x40621D}
-        and bt.aircrafts[0x7C6B30].callsign == "SOAKEXT_"
-    )
+    if rotate:
+        # Rotating fleet: every decode still lands; with eviction the
+        # table must stay bounded by the ICAOs alive inside the eviction
+        # window at the OBSERVED block rate (the soak free-runs, it is
+        # not paced to real time), far below the distinct ICAOs seen.
+        distinct_seen = min(rotate, d["blocks"]) + 1  # + the fixed DF11
+        if evict is None:
+            bound = distinct_seen + 1
+        else:
+            rate = d["blocks"] / max(time.time() - t0, 1e-9)
+            bound = min(int(rate * evict * 1.5) + 16, distinct_seen + 1)
+        ok_tracker = 0 < len(bt.aircrafts) <= bound
+    else:
+        ok_tracker = (
+            set(bt.aircrafts) == {0x7C6B30, 0x40621D}
+            and bt.aircrafts[0x7C6B30].callsign == "SOAKEXT_"
+        )
     d.update(
         mode="extended-batched",
         seconds=round(time.time() - t0, 1),
@@ -158,9 +241,17 @@ def extended_soak(seconds: float, block: int) -> int:
         frames_expected=expected,
         boundary_loss=max(0, expected - bt.n_messages),
         tracker_ok=ok_tracker,
+        tracker_size=len(bt.aircrafts),
     )
+    ok = d["boundary_loss"] == 0 and ok_tracker
+    if mem is not None:
+        d.update(mem.finish())
+        # Regrow-capacity ratchet: at this known frame density NO block
+        # should ever have overflowed the starting capacity.
+        d["regrow_ok"] = d["overflow_blocks"] == 0
+        ok = ok and d["rss_ok"] and d["regrow_ok"]
     print(json.dumps(d))
-    return 0 if d["boundary_loss"] == 0 and ok_tracker else 1
+    return 0 if ok else 1
 
 
 def main(argv=None) -> int:
@@ -172,13 +263,41 @@ def main(argv=None) -> int:
         "--extended", action="store_true",
         help="soak the extended-mode batched host path",
     )
+    p.add_argument(
+        "--memcheck", action="store_true",
+        help="long-run memory assertions: RSS plateau + no regrow ratchet"
+        " (+ bounded tracker with --rotate/--evict)",
+    )
+    p.add_argument(
+        "--rotate", type=int, default=0, metavar="N",
+        help="extended soak: rotate DF17 ICAOs over N distinct aircraft",
+    )
+    p.add_argument(
+        "--evict", type=float, default=None, metavar="S",
+        help="extended soak: tracker eviction window in seconds",
+    )
+    p.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (long host-side soaks; the remote "
+        "TPU tunnel adds ~25 ms RPC per block and is not what a memory "
+        "soak measures)",
+    )
     args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.sdr:
         return sdr_soak(args.seconds, extended=args.extended)
     if args.extended:
-        return extended_soak(args.seconds, args.block)
+        return extended_soak(
+            args.seconds, args.block, memcheck=args.memcheck,
+            rotate=args.rotate, evict=args.evict,
+        )
 
+    mem = MemWatch() if args.memcheck else None
     stop = {}
     frames_seen = []
     t0 = time.time()
@@ -203,8 +322,13 @@ def main(argv=None) -> int:
         frames_expected=expected,
         boundary_loss=max(0, expected - len(frames_seen)),
     )
+    ok = d["boundary_loss"] == 0
+    if mem is not None:
+        d.update(mem.finish())
+        d["regrow_ok"] = d["overflow_blocks"] == 0
+        ok = ok and d["rss_ok"] and d["regrow_ok"]
     print(json.dumps(d))
-    return 0 if d["boundary_loss"] == 0 else 1
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
