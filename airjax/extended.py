@@ -380,6 +380,18 @@ def split_ap_candidates(
     return simple, complex_pkts
 
 
+def assemble_elm(segments: dict | None) -> bytes | None:
+    """Reassemble a full Comm-D ELM from an aircraft's commd_segments
+    stash ({str(nd): md_hex}): the in-order concatenation of segments
+    0..ND_max once every one has arrived; None while gaps remain."""
+    if not segments:
+        return None
+    nds = sorted(int(k) for k in segments)
+    if nds != list(range(nds[-1] + 1)):
+        return None
+    return b"".join(bytes.fromhex(segments[str(i)]) for i in nds)
+
+
 def handle_extended_update(
     packet: ExtendedPacket, aircrafts: dict, ref_position=None
 ) -> None:

@@ -132,3 +132,28 @@ def test_batched_sink_equivalence_with_df24():
     assert bt.on_extended_block(out, 100.0, IcaoCache()) == 2
     assert per[ICAO].commd_segments == bt.aircrafts[ICAO].commd_segments
     assert bt.aircrafts[ICAO].commd_segments == {"2": MD.hex()}
+
+
+def test_assemble_elm():
+    from airjax.extended import assemble_elm
+
+    assert assemble_elm(None) is None
+    assert assemble_elm({}) is None
+    segs = {"0": "00" * 10, "2": "22" * 10}
+    assert assemble_elm(segs) is None  # gap at nd=1
+    segs["1"] = "11" * 10
+    full = assemble_elm(segs)
+    assert full == bytes(10) + b"\x11" * 10 + b"\x22" * 10
+
+    # Driven through the tracker: three segments arrive out of order.
+    aircrafts = {}
+    for nd in (2, 0, 1):
+        handle_extended_update(
+            CommDReply(
+                icao=ICAO, ke=1, nd=nd, md=bytes([nd]) * 10,
+                time_processed=5.0,
+            ),
+            aircrafts,
+        )
+    got = assemble_elm(aircrafts[ICAO].commd_segments)
+    assert got == bytes(10) + b"\x01" * 10 + b"\x02" * 10
