@@ -238,13 +238,14 @@ def _cmd_adsb_inner(args) -> int:
         )
         decode_thread.start()
         interactive_display(app)
-        observability.log_stats("adsb_interactive_done", tui_stats.as_dict())
         # The daemon decode thread may still be mutating the shared table
         # (batched mode mutates under app._lock); hold the lock for a
         # consistent checkpoint. Per-packet mode only queues from the
         # decode thread, so the lock is uncontended there.
         with app._lock:
             _save_state(app.aircrafts)
+        # After the checkpoint: a stats hiccup must never cost the save.
+        observability.log_stats("adsb_interactive_done", tui_stats.as_dict())
         return 0
     elif args.mode == "web":
         from airjax.ui.web import WebDisplay

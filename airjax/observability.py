@@ -59,18 +59,25 @@ class StageTimer:
 
     def add(self, name: str, dt: float) -> None:
         """Manual accounting for spans that don't nest as a `with` block
-        (e.g. a region ending mid-function in airjax.runner._process)."""
-        self.totals[name] = self.totals.get(name, 0.0) + dt
+        (e.g. a region ending mid-function in airjax.runner._process).
+
+        counts is written BEFORE totals so a concurrent as_dict (a UI
+        thread reading stats while the decode thread accounts) never
+        sees a totals key without its counts entry."""
         self.counts[name] = self.counts.get(name, 0) + 1
+        self.totals[name] = self.totals.get(name, 0.0) + dt
 
     def as_dict(self) -> dict:
+        # Snapshot both dicts first (C-level copies are atomic under the
+        # GIL): safe to call from another thread mid-stream.
+        totals, counts = dict(self.totals), dict(self.counts)
         return {
             name: {
                 "total_s": round(total, 6),
-                "calls": self.counts[name],
-                "mean_ms": round(total / self.counts[name] * 1e3, 3),
+                "calls": counts[name],
+                "mean_ms": round(total / counts[name] * 1e3, 3),
             }
-            for name, total in sorted(self.totals.items())
+            for name, total in sorted(totals.items())
         }
 
 

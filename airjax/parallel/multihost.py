@@ -222,16 +222,14 @@ def attach_candidate_fields(gathered: dict) -> dict:
     (K frames x integer ops), so it runs AFTER the allgather on the
     replicated arrays instead of inside the sharded program."""
     from airjax.protocol.fields import extract_fields
-    from airjax.protocol.shortframe import extract_short_fields
+    from airjax.protocol.shortframe import extract_short_fields_from_raw
 
     gathered["fields"] = jax.device_get(
         extract_fields(jnp.asarray(gathered["frames"]))
     )
-    raw7 = jnp.asarray(gathered["frames_raw"])[..., :7].astype(jnp.int32)
-    bits56 = (
-        (raw7[..., None] >> jnp.arange(7, -1, -1, dtype=jnp.int32)) & 1
-    ).reshape(*raw7.shape[:-1], 56)
-    gathered["short_fields"] = jax.device_get(extract_short_fields(bits56))
+    gathered["short_fields"] = jax.device_get(
+        extract_short_fields_from_raw(gathered["frames_raw"])
+    )
     return gathered
 
 

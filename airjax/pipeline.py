@@ -251,15 +251,11 @@ def decode_iq_block_extended_with_fields(
     7 bytes) serves the AP-candidate host assembly, meaningful only
     where a cand_* class is set."""
     from airjax.protocol.fields import extract_fields
-    from airjax.protocol.shortframe import extract_short_fields
+    from airjax.protocol.shortframe import extract_short_fields_from_raw
 
     out = decode_mags_block_extended(magnitude_u16(iq), n_off, capacity)
     out["fields"] = extract_fields(out["frames"])
-    raw7 = out["frames_raw"][..., :7].astype(jnp.int32)
-    bits56 = ((raw7[..., None] >> jnp.arange(7, -1, -1, dtype=jnp.int32)) & 1).reshape(
-        *raw7.shape[:-1], 56
-    )
-    out["short_fields"] = extract_short_fields(bits56)
+    out["short_fields"] = extract_short_fields_from_raw(out["frames_raw"])
     return out
 
 

@@ -231,7 +231,7 @@ def decode_bds44(mb: bytes) -> Optional[dict]:
         return None
     out["static_air_temp_c"] = round(temp_c, 2)
     if s_press:
-        if press > 2048:
+        if press > 1100:  # sea-level record highs are ~1085 hPa
             return None
         out["avg_static_pressure_hpa"] = press
     if s_turb:

@@ -334,6 +334,21 @@ def make_df20(
     return body + bytes([(ap >> 16) & 0xFF, (ap >> 8) & 0xFF, ap & 0xFF])
 
 
+def extract_short_fields_from_raw(frames_raw: jnp.ndarray):
+    """Short-frame field arrays straight from raw frame BYTES (..., >=7).
+
+    The one shared bytes->bits56->extract_short_fields recipe for the
+    single-chip fused program (airjax.pipeline
+    .decode_iq_block_extended_with_fields) and the multihost
+    gathered-array path (airjax.parallel.multihost
+    .attach_candidate_fields) — one site, so the two cannot drift."""
+    raw7 = jnp.asarray(frames_raw)[..., :7].astype(jnp.int32)
+    bits56 = (
+        (raw7[..., None] >> jnp.arange(7, -1, -1, dtype=jnp.int32)) & 1
+    ).reshape(*raw7.shape[:-1], 56)
+    return extract_short_fields(bits56)
+
+
 def make_df24(icao: int, nd: int = 0, md: bytes = b"\x00" * 10, ke: int = 0) -> bytes:
     """Assemble a 14-byte DF24 Comm-D ELM segment addressed via AP
     (first two bits '11', bit 4 KE, bits 5-8 ND, bits 9-88 MD)."""

@@ -332,9 +332,10 @@ def test_bds44_roundtrip_and_reject():
     assert d["static_air_temp_c"] == -45.0
     assert d["avg_static_pressure_hpa"] == 1013
     assert abs(d["humidity_pct"] - 25.0) < 1.0
-    # Implausible wind speed or temperature rejects.
+    # Implausible wind speed, temperature, or pressure rejects.
     assert commb.decode_bds44(make_bds44(wind_kt=400)) is None
     assert commb.decode_bds44(make_bds44(temp_c=75.0)) is None
+    assert commb.decode_bds44(make_bds44(press_hpa=1500)) is None
 
 
 def test_bds53_roundtrip_and_reject():
