@@ -57,6 +57,18 @@ def _gillham_altitude_host(ac13: np.ndarray) -> int | None:
     return fives * 500 + ones * 100 - 1300
 
 
+def icao_from_raw(frames_raw, idx) -> "np.ndarray":
+    """Cleartext 3-byte big-endian address at bytes 1..3 of raw frames —
+    the AA field of DF11 all-calls. One site for the bit assembly the
+    batched sink and both assembly passes share."""
+    fr = np.asarray(frames_raw)
+    return (
+        (fr[idx, 1].astype(np.int64) << 16)
+        | (fr[idx, 2].astype(np.int64) << 8)
+        | fr[idx, 3]
+    )
+
+
 def _short_fields_host(frame7: bytes) -> dict:
     """Scalar short/AP frame field decode (numpy-free host path)."""
     bits = np.unpackbits(np.frombuffer(frame7, np.uint8))
@@ -294,26 +306,26 @@ def split_ap_candidates(
     icao_short = np.asarray(out["icao_ap_short"])
     icao_long = np.asarray(out["icao_ap_long"])
 
-    empty = {
-        key: np.zeros(0, np.int64)
-        for key in ("off", "cls", "icao", "alt", "squawk", "vs")
-    }
-    # bool, NOT int: the consumer combines this into boolean masks, and
-    # an int dtype would silently flip them to integer fancy-indexing.
-    empty["alt_valid"] = np.zeros(0, bool)
+    def empty():
+        out = {
+            key: np.zeros(0, np.int64)
+            for key in ("off", "cls", "icao", "alt", "squawk", "vs")
+        }
+        # bool, NOT int: the consumer combines this into boolean masks,
+        # and an int dtype would silently flip them to integer
+        # fancy-indexing.
+        out["alt_valid"] = np.zeros(0, bool)
+        return out
+
     ks = np.nonzero(cand_short | cand_long | cand_df11_ic)[0]
     if min_offset is not None and len(ks):
         ks = ks[offsets[ks] >= min_offset]
     if not len(ks):
-        return empty, []
+        return empty(), []
 
     # Gate addresses: interrogated DF11s gate on the cleartext AA; AP
     # frames on the parity-recovered ICAO.
-    aa = (
-        (frames_raw[ks, 1].astype(np.int64) << 16)
-        | (frames_raw[ks, 2].astype(np.int64) << 8)
-        | frames_raw[ks, 3]
-    )
+    aa = icao_from_raw(frames_raw, ks)
     gate_icao = np.where(
         cand_df11_ic[ks],
         aa,
@@ -325,7 +337,7 @@ def split_ap_candidates(
     )
     ks, gate_icao = ks[accept], gate_icao[accept]
     if not len(ks):
-        return empty, []
+        return empty(), []
 
     dfk = df[ks].astype(np.int64)
     is_df11 = cand_df11_ic[ks].astype(bool)

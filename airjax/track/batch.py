@@ -193,7 +193,7 @@ class BatchTracker:
 
         # Upsert every aircraft in first-occurrence (stream) order — the
         # per-packet path's dict insertion order.
-        _uniq, first = np.unique(icao, return_index=True)
+        first = np.unique(icao, return_index=True)[1]
         for ic in icao[np.sort(first)].tolist():
             if ic not in aircrafts:
                 aircrafts[ic] = Aircraft(ic)
@@ -243,8 +243,9 @@ class BatchTracker:
             o_lat = np.where(od_s, la_s, la_s[safe])
             o_lon = np.where(od_s, lo_s, lo_s[safe])
             has = partner >= 0
-            ic_sl = ic_s.tolist()
-            for j in np.nonzero(~has)[0].tolist():
+            need_stash = np.nonzero(~has)[0].tolist()
+            ic_sl = ic_s.tolist() if need_stash else None
+            for j in need_stash:
                 # No in-block opposite-parity predecessor: pair against
                 # the pre-block stash when one exists and is fresh.
                 a = aircrafts[ic_sl[j]]
@@ -597,13 +598,14 @@ class ExtendedBatchTracker(BatchTracker):
         offsets = np.asarray(out["offsets"])
 
         # --- pass 1 column subsets (one fancy-index per field) ---
+        from airjax.extended import icao_from_raw
+
         gl1 = good_long[k_pass1]
-        raw_icao = (
-            (frames_raw[k_pass1, 1].astype(np.int64) << 16)
-            | (frames_raw[k_pass1, 2].astype(np.int64) << 8)
-            | frames_raw[k_pass1, 3]
+        icao1 = np.where(
+            gl1,
+            np.asarray(fields["icao"])[k_pass1],
+            icao_from_raw(frames_raw, k_pass1),
         )
-        icao1 = np.where(gl1, np.asarray(fields["icao"])[k_pass1], raw_icao)
 
         # Seed the acceptance cache with every pass-1 ICAO first (same
         # visibility as assemble_extended: pass 2 gating sees the whole
@@ -681,9 +683,10 @@ class ExtendedBatchTracker(BatchTracker):
                 "sqk": merged(za, simple["squawk"], zc),
                 "vs": merged(za, simple["vs"], zc),
             }
-            for key in ("cpr_odd", "cpr_lat", "cpr_lon"):
-                short = key.replace("cpr_", "c")[:4]  # odd/clat/clon
-                C["odd" if key == "cpr_odd" else short] = merged(
+            for short, key in (
+                ("odd", "cpr_odd"), ("clat", "cpr_lat"), ("clon", "cpr_lon")
+            ):
+                C[short] = merged(
                     np.asarray(fields[key])[k1a].astype(np.int64), zs, zc
                 )
             any_vel = bool(np.any(cls_a == MSG_AIRCRAFT_VELOCITY))
