@@ -135,9 +135,10 @@ def _cmd_adsb_inner(args) -> int:
             # Deactivate/close the hardware stream however the consumer
             # stops (bound reached, generator dropped, or exception) —
             # a bare islice over blocks() would leave the SDR streaming
-            # into a dead buffer.
+            # into a dead buffer. The live path rides the native SPSC
+            # ring (falls back to the plain iterator without the lib).
             try:
-                for i, blk in enumerate(src.blocks()):
+                for i, blk in enumerate(src.blocks_ringbuffered()):
                     if limit is not None and i >= limit:
                         return
                     yield blk

@@ -147,14 +147,19 @@ class SdrSource:
         if not self._stream:
             raise SdrUnavailable("couldn't setup stream")
         self._mtu = lib.SoapySDRDevice_getStreamMTU(self._dev, self._stream) or 65536
+        self._ring_workers: list = []  # (stop, thread, ring) per consumer
         lib.SoapySDRDevice_activateStream(self._dev, self._stream, 0, 0, 0)
 
-    def blocks(self) -> Iterator[np.ndarray]:
+    def blocks(self, stop=None) -> Iterator[np.ndarray]:
+        """MTU-sized int16 IQ blocks until `stop` (a threading.Event,
+        optional) is set — the stop hook exists so a ring-buffered rx
+        thread can be shut down BEFORE close() frees the device (a
+        GIL-released readStream racing the free is a use-after-free)."""
         buf = np.empty((self._mtu, 2), dtype=np.int16)
         ptrs = (ctypes.c_void_p * 1)(buf.ctypes.data)
         flags = ctypes.c_int(0)
         time_ns = ctypes.c_longlong(0)
-        while True:
+        while stop is None or not stop.is_set():
             n = self._lib.SoapySDRDevice_readStream(
                 self._dev,
                 self._stream,
@@ -168,7 +173,73 @@ class SdrSource:
                 continue  # timeouts/overflows skipped, like the reference
             yield buf[:n].copy()
 
+    def blocks_ringbuffered(self, depth: int = 16) -> "Iterator[np.ndarray]":
+        """Live rx decoupled through the native lock-free SPSC ring
+        (native/airjax_native.cpp `airjax_ring_*`): a daemon thread
+        drains the SoapySDR stream into the ring while the consumer
+        holds the GIL for host-side work — the reference's
+        rx-thread -> mpsc channel architecture (src/adsb.rs:54-73) with
+        a native channel instead of a Python queue. Both the Soapy read
+        and the ring push/pop are GIL-releasing C calls, so a busy
+        decode loop cannot starve the radio.
+
+        Backpressure: a full ring blocks the rx thread (bounded-queue
+        semantics, like airjax.io.source.Prefetcher) and lets the SDR's
+        own buffering absorb the stall. Falls back to the plain
+        blocks() iterator when the native library is unavailable."""
+        import threading
+        import time as _time
+
+        from airjax.native import NativeUnavailable, Ring
+
+        try:
+            ring = Ring(self._mtu, depth=depth)
+        except (NativeUnavailable, OSError):
+            yield from self.blocks()
+            return
+
+        stop = threading.Event()
+
+        def _rx() -> None:
+            try:
+                for blk in self.blocks(stop=stop):
+                    while not ring.push(blk):
+                        if stop.is_set():
+                            return
+                        _time.sleep(0.0005)
+                    if stop.is_set():
+                        return
+            except Exception:
+                pass  # the closed device on shutdown; consumer drains
+
+        thread = threading.Thread(target=_rx, daemon=True)
+        # Registered so close() can stop+join the rx thread BEFORE it
+        # frees the device (readStream returns within its 2 s timeout).
+        self._ring_workers.append((stop, thread, ring))
+        thread.start()
+        try:
+            while True:
+                blk = ring.pop()
+                if blk is None:
+                    if not thread.is_alive():
+                        return
+                    _time.sleep(0.0005)
+                    continue
+                yield blk
+        finally:
+            stop.set()
+            thread.join(timeout=5.0)
+            if (stop, thread, ring) in self._ring_workers:
+                self._ring_workers.remove((stop, thread, ring))
+            ring.close()
+
     def close(self) -> None:
+        # Ring rx threads first: a GIL-released readStream racing the
+        # device free below is a use-after-free.
+        for stop, thread, _ring in getattr(self, "_ring_workers", []):
+            stop.set()
+        for _stop, thread, _ring in getattr(self, "_ring_workers", []):
+            thread.join(timeout=5.0)
         if getattr(self, "_stream", None):
             self._lib.SoapySDRDevice_deactivateStream(self._dev, self._stream, 0, 0)
             self._lib.SoapySDRDevice_closeStream(self._dev, self._stream)

@@ -137,3 +137,49 @@ def test_receive_captures_to_c16(fake_env, tmp_path, monkeypatch, capsys):
     # First MTU block of the capture = the backing pattern.
     first = cap[:20000]
     assert first.max() > 5000  # the modulated frames are present
+
+
+def test_ringbuffered_stream_matches_plain(fake_env, fake_capture):
+    """blocks_ringbuffered (rx thread -> native SPSC ring) must deliver
+    the same sample stream as the plain iterator — this is the CLI's
+    live path (airjax.cli._sdr_blocks)."""
+    import itertools
+
+    import numpy as np
+
+    from airjax import sdr
+
+    src = sdr.SdrSource(device=0)
+    plain = list(itertools.islice(src.blocks(), 6))
+    src.close()
+
+    src2 = sdr.SdrSource(device=0)
+    ringed = list(itertools.islice(src2.blocks_ringbuffered(), 6))
+    src2.close()
+
+    # The fake cycles one capture deterministically from its start, so
+    # block-for-block the two iterators see identical samples.
+    assert len(plain) == len(ringed) == 6
+    for a, b in zip(plain, ringed):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_ringbuffered_live_decode(fake_env):
+    """End-to-end: ring-buffered live source through run_stream decodes
+    the capture's embedded frames with zero loss."""
+    import itertools
+
+    from airjax import sdr
+    from airjax.runner import run_stream
+
+    src = sdr.SdrSource(device=0)
+    got = []
+    stats = run_stream(
+        itertools.islice(src.blocks_ringbuffered(), 40),
+        lambda p: got.append(p.icao),
+        overlap=True,
+    )
+    src.close()
+    assert stats.blocks == 40
+    assert len(got) == stats.good > 0
+    assert set(got) == {0x7C0DEF}

@@ -125,7 +125,8 @@ def sdr_soak(seconds: float, extended: bool = False) -> int:
     src = sdr.SdrSource(device=0)
 
     def timed_blocks():
-        for blk in src.blocks():
+        # Production live path: rx thread -> native SPSC ring -> decode.
+        for blk in src.blocks_ringbuffered():
             if time.time() - t0 > seconds:
                 return
             yield blk
