@@ -331,10 +331,14 @@ def split_ap_candidates(
         aa,
         np.where(cand_short[ks], icao_short[ks], icao_long[ks]),
     ).astype(np.int64)
+    # One cache lookup per UNIQUE address (a block's candidates repeat
+    # few aircraft); contains() side effects (expiry deletion) hit the
+    # same unique set as per-candidate lookups would.
     contains = cache.contains
+    uniq, inv = np.unique(gate_icao, return_inverse=True)
     accept = np.fromiter(
-        (contains(int(ic), now) for ic in gate_icao), bool, len(gate_icao)
-    )
+        (contains(int(ic), now) for ic in uniq), bool, len(uniq)
+    )[inv]
     ks, gate_icao = ks[accept], gate_icao[accept]
     if not len(ks):
         return empty(), []
