@@ -396,14 +396,24 @@ def split_ap_candidates(
     return simple, complex_pkts
 
 
-def assemble_elm(segments: dict | None) -> bytes | None:
-    """Reassemble a full Comm-D ELM from an aircraft's commd_segments
-    stash ({str(nd): md_hex}): the in-order concatenation of segments
-    0..ND_max once every one has arrived; None while gaps remain."""
+def assemble_elm(
+    segments: dict | None, expected_segments: int | None = None
+) -> bytes | None:
+    """Reassemble a Comm-D ELM from an aircraft's commd_segments stash
+    ({str(nd): md_hex}): the in-order concatenation of segments
+    0..ND_max; None while interior gaps remain.
+
+    The downlink alone does not announce the segment COUNT (it is fixed
+    by the interrogator's UF24 RC field, which a passive receiver never
+    sees), so a missing TRAILING segment is undecidable from the stash:
+    a gapless prefix 0..k is returned as-is. Pass `expected_segments`
+    when the count is known out-of-band to also reject short prefixes."""
     if not segments:
         return None
     nds = sorted(int(k) for k in segments)
     if nds != list(range(nds[-1] + 1)):
+        return None
+    if expected_segments is not None and len(nds) != expected_segments:
         return None
     return b"".join(bytes.fromhex(segments[str(i)]) for i in nds)
 

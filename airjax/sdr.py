@@ -150,11 +150,17 @@ class SdrSource:
         self._ring_workers: list = []  # (stop, thread, ring) per consumer
         lib.SoapySDRDevice_activateStream(self._dev, self._stream, 0, 0, 0)
 
-    def blocks(self, stop=None) -> Iterator[np.ndarray]:
+    def blocks(self, stop=None, copy=True) -> Iterator[np.ndarray]:
         """MTU-sized int16 IQ blocks until `stop` (a threading.Event,
         optional) is set — the stop hook exists so a ring-buffered rx
         thread can be shut down BEFORE close() frees the device (a
-        GIL-released readStream racing the free is a use-after-free)."""
+        GIL-released readStream racing the free is a use-after-free).
+
+        copy=False yields VIEWS into the reused read buffer, valid only
+        until the next iteration — for consumers that immediately
+        snapshot the data themselves (the ring producer memcpys into
+        ring storage; skipping the .copy() halves its per-block memory
+        traffic)."""
         buf = np.empty((self._mtu, 2), dtype=np.int16)
         ptrs = (ctypes.c_void_p * 1)(buf.ctypes.data)
         flags = ctypes.c_int(0)
@@ -171,7 +177,7 @@ class SdrSource:
             )
             if n <= 0:
                 continue  # timeouts/overflows skipped, like the reference
-            yield buf[:n].copy()
+            yield buf[:n].copy() if copy else buf[:n]
 
     def blocks_ringbuffered(self, depth: int = 16) -> "Iterator[np.ndarray]":
         """Live rx decoupled through the native lock-free SPSC ring
@@ -202,7 +208,8 @@ class SdrSource:
 
         def _rx() -> None:
             try:
-                for blk in self.blocks(stop=stop):
+                # copy=False: push() snapshots into ring storage itself.
+                for blk in self.blocks(stop=stop, copy=False):
                     while not ring.push(blk):
                         if stop.is_set():
                             return
@@ -210,7 +217,15 @@ class SdrSource:
                     if stop.is_set():
                         return
             except Exception:
-                pass  # the closed device on shutdown; consumer drains
+                if not stop.is_set():
+                    # A genuine mid-stream failure (not shutdown): the
+                    # operator must be able to tell "receiver died" from
+                    # "no traffic".
+                    import logging
+
+                    logging.getLogger("airjax").exception(
+                        "SDR ring rx thread died mid-stream"
+                    )
 
         thread = threading.Thread(target=_rx, daemon=True)
         # Registered so close() can stop+join the rx thread BEFORE it
@@ -222,6 +237,10 @@ class SdrSource:
                 blk = ring.pop()
                 if blk is None:
                     if not thread.is_alive():
+                        # Drain any block pushed between the empty pop
+                        # and the liveness check before finishing.
+                        while (blk := ring.pop()) is not None:
+                            yield blk
                         return
                     _time.sleep(0.0005)
                     continue
@@ -231,7 +250,18 @@ class SdrSource:
             thread.join(timeout=5.0)
             if (stop, thread, ring) in self._ring_workers:
                 self._ring_workers.remove((stop, thread, ring))
-            ring.close()
+            if thread.is_alive():
+                # A wedged driver read outlived the join: freeing the
+                # ring under the thread would be a use-after-free. Leak
+                # it (bounded: depth * mtu) and say so.
+                import logging
+
+                logging.getLogger("airjax").error(
+                    "SDR rx thread did not stop within 5 s; leaking its "
+                    "ring buffer instead of freeing it underneath"
+                )
+            else:
+                ring.close()
 
     def close(self) -> None:
         # Ring rx threads first: a GIL-released readStream racing the
@@ -240,6 +270,18 @@ class SdrSource:
             stop.set()
         for _stop, thread, _ring in getattr(self, "_ring_workers", []):
             thread.join(timeout=5.0)
+        if any(t.is_alive() for _s, t, _r in getattr(self, "_ring_workers", [])):
+            # Same rationale as the generator cleanup: never free the
+            # device under a wedged reader. Leak it and report.
+            import logging
+
+            logging.getLogger("airjax").error(
+                "SDR rx thread still running after 5 s; leaking the "
+                "device handle instead of freeing it underneath"
+            )
+            self._stream = None
+            self._dev = None
+            return
         if getattr(self, "_stream", None):
             self._lib.SoapySDRDevice_deactivateStream(self._dev, self._stream, 0, 0)
             self._lib.SoapySDRDevice_closeStream(self._dev, self._stream)

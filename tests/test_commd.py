@@ -144,6 +144,10 @@ def test_assemble_elm():
     segs["1"] = "11" * 10
     full = assemble_elm(segs)
     assert full == bytes(10) + b"\x11" * 10 + b"\x22" * 10
+    # Trailing completeness is undecidable from the downlink alone; an
+    # out-of-band segment count rejects short prefixes.
+    assert assemble_elm(segs, expected_segments=4) is None
+    assert assemble_elm(segs, expected_segments=3) == full
 
     # Driven through the tracker: three segments arrive out of order.
     aircrafts = {}
