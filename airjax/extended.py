@@ -12,7 +12,7 @@ Turns the device-side candidate dict of
 
 from __future__ import annotations
 
-from typing import Callable, Union
+from typing import Union
 
 import numpy as np
 

@@ -24,8 +24,6 @@ import json
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
 
 from airjax.io import synth  # noqa: E402
