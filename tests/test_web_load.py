@@ -66,7 +66,16 @@ def _read_frames(
     tells you nothing when it recurs. Instead assert LIVENESS — fail only
     when the stream stalls (zero bytes for `stall_timeout`) or the total
     budget is exhausted; a slow machine that keeps trickling bytes
-    passes, a wedged server fails with a diagnostic of how far it got."""
+    passes, a wedged server fails with a diagnostic of how far it got.
+
+    Root-cause evidence (PERF_r04 §7): an induced-load reproduction —
+    12 clients incl. one never-reading socket, plus GC- and CPU-pressure
+    threads, 475 broadcasts over 30 s — produced a worst inter-chunk gap
+    of 2.66 s with ZERO lost bytes on every healthy client (per-client
+    writer threads + 0.5 s send timeouts isolate a stuck peer). The
+    original >15 s stall was host scheduling starvation, exactly the
+    condition a liveness assertion tolerates and a flat deadline
+    misreports."""
     deadline = time.monotonic() + total_timeout
     s.settimeout(stall_timeout)
     buf = initial
