@@ -342,7 +342,7 @@ def build_parser() -> argparse.ArgumentParser:
     adsb.add_argument(
         "--batched",
         action="store_true",
-        help="web/interactive modes: batched tracker sink (4.1x/2.5x host "
+        help="web/interactive modes: batched tracker sink (~6x/5x host "
         "throughput); web also coalesces the WS broadcast to one summary "
         "per touched aircraft per block (the reference's per-packet "
         "granularity is the default)",

@@ -483,6 +483,16 @@ def handle_extended_update(
             b30 = bds.get("3,0")
             if isinstance(b30, dict):
                 aircraft.acas_ra = b30  # Comm-B RA report (BDS 3,0)
+            # Sole-candidate rule for the round-4 registers (consistent
+            # with the 5,0/6,0 ambiguity discipline): apply only when the
+            # MB validated as exactly this register.
+            if len(bds) == 1:
+                b44 = bds.get("4,4")
+                if isinstance(b44, dict):
+                    aircraft.met = b44  # meteorological routine report
+                b40 = bds.get("4,0")
+                if isinstance(b40, dict) and "mcp_alt_ft" in b40:
+                    aircraft.selected_altitude_ft = b40["mcp_alt_ft"]
             # A structural match on 1,0/1,7/3,0 (explicit BDS-code or
             # reserved-zero signatures) makes a coincidental 5,0/6,0
             # velocity reading suspect — skip it then.

@@ -58,6 +58,8 @@ class AircraftSummary:
     # field carries no register id); consumers must treat the decoded
     # velocity/heading extensions as uncertain then.
     bds_candidates: Optional[list] = None
+    # BDS 4,4 meteorological report (sole-candidate inferences only).
+    met: Optional[dict] = None
 
     def to_json(self, extended: bool = False) -> dict:
         out = {
@@ -81,6 +83,7 @@ class AircraftSummary:
             out["onGround"] = self.on_ground
             out["acasRa"] = self.acas_ra
             out["bdsCandidates"] = self.bds_candidates
+            out["met"] = self.met
         return out
 
 
@@ -108,6 +111,9 @@ class Aircraft:
         self.gicb_supported: Optional[list] = None
         # Extension (DF24 Comm-D): ELM segment stash {str(nd): md_hex}.
         self.commd_segments: Optional[dict] = None
+        # Extension (BDS 4,4, sole-candidate only): wind / temperature /
+        # pressure / humidity dict as decoded by commb.decode_bds44.
+        self.met: Optional[dict] = None
         self.altitude = 0
         self.geo_position: Optional[GeographicPosition] = None
         self.last_contact = now
@@ -268,6 +274,7 @@ class Aircraft:
                 else None
             ),
             bds_candidates=self.bds_candidates,
+            met=self.met,
         )
 
 

@@ -43,6 +43,7 @@ _PLAIN_ATTRS = (
     "bds_candidates",
     "gicb_supported",
     "commd_segments",
+    "met",
     "altitude",
     "last_contact",
     "on_ground",

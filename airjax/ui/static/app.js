@@ -213,6 +213,13 @@ function draw() {
       if (a.bdsCandidates && a.bdsCandidates.length > 1) {
         lines.push(`BDS?     ${a.bdsCandidates.join("/")} (ambiguous)`);
       }
+      if (a.met && a.met.wind_speed_kt != null) {
+        lines.push(`wind     ${a.met.wind_speed_kt} kt @ ${
+          a.met.wind_dir_deg != null ? a.met.wind_dir_deg.toFixed(0) : "-"}°`);
+      }
+      if (a.met && a.met.static_air_temp_c != null) {
+        lines.push(`SAT      ${a.met.static_air_temp_c} °C`);
+      }
       const pw = 210 * devicePixelRatio;
       const [asc, desc] = getTextMetrics(lines[0]);
       const pad = 4 * devicePixelRatio;

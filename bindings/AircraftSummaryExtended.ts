@@ -23,4 +23,11 @@ export interface AircraftSummaryExtended {
    * register inference was ambiguous and derived fields are uncertain.
    */
   bdsCandidates: string[] | null;
+  /**
+   * BDS 4,4 meteorological routine report (applied only when the MB
+   * validated as exactly this register): wind_speed_kt, wind_dir_deg,
+   * static_air_temp_c, avg_static_pressure_hpa, humidity_pct as
+   * available.
+   */
+  met: { [key: string]: number } | null;
 }

@@ -171,6 +171,7 @@ _SCALARS = (
     "bds_candidates",
     "gicb_supported",
     "commd_segments",
+    "met",
 )
 
 

@@ -430,3 +430,57 @@ def test_gicb_capability_survives_checkpoint(tmp_path):
     restored = load_state(path)
     assert restored[ICAO].gicb_supported == ["2,0", "5,0"]
     assert restored[ICAO].bds_candidates == ["1,7"]
+
+
+
+def test_sole_candidate_bds44_feeds_met_and_schema():
+    d = commb.infer_bds(make_bds44(wind_kt=40, wind_dir_deg=225.0, temp_c=-45.0))
+    aircrafts = {}
+    rep = SurveillanceReply(
+        df=20, icao=ICAO, flight_status=0, altitude_ft=35000, squawk=None,
+        time_processed=9.0, bds=d,
+    )
+    handle_extended_update(rep, aircrafts)
+    a = aircrafts[ICAO]
+    if list(d) == ["4,4"]:  # sole candidate: applied
+        assert a.met is not None
+        assert a.met["wind_speed_kt"] == 40
+        assert a.met["static_air_temp_c"] == -45.0
+        summary = a.get_summary().to_json(extended=True)
+        assert summary["met"]["wind_speed_kt"] == 40
+        assert "met" not in a.get_summary().to_json(extended=False)
+    else:  # ambiguous MB: conservatively not applied
+        assert a.met is None
+
+
+def test_sole_candidate_bds40_feeds_selected_altitude():
+    mb = _pack_fields(
+        (1, 1), (32000 // 16, 12),
+        (1, 1), (31984 // 16, 12),
+        (1, 1), (round((1013.2 - 800) / 0.1), 12),
+        (0, 8), (0, 9),
+    )
+    d = commb.infer_bds(mb)
+    aircrafts = {}
+    handle_extended_update(
+        SurveillanceReply(
+            df=20, icao=ICAO, flight_status=0, altitude_ft=None, squawk=None,
+            time_processed=9.0, bds=d,
+        ),
+        aircrafts,
+    )
+    if list(d) == ["4,0"]:
+        assert aircrafts[ICAO].selected_altitude_ft == 32000
+    else:
+        assert aircrafts[ICAO].selected_altitude_ft is None
+
+
+def test_met_survives_checkpoint(tmp_path):
+    from airjax.track.state import load_state, save_state
+    from airjax.track.aircraft import Aircraft
+
+    aircrafts = {ICAO: Aircraft(ICAO)}
+    aircrafts[ICAO].met = {"wind_speed_kt": 12, "static_air_temp_c": -30.0}
+    p = tmp_path / "s.json"
+    save_state(aircrafts, p)
+    assert load_state(p)[ICAO].met == aircrafts[ICAO].met
