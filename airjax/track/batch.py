@@ -21,7 +21,7 @@ than messages; blocks containing genuinely complex kinds (DF16 MV-RA,
 DF20/21 Comm-B, non-batched MEs) take the ordered zip walk (`_walk`)
 with the per-packet path interleaved at each fallback's offset
 position. Measured on tools/bench_host.py at device block granularity:
-~870k parity / ~640k extended msgs/s vs the device's 516k
+~797k parity / ~640k extended msgs/s vs the device's 516k
 (perf/host_r04.json; round 3: 653k / 328k).
 
 Semantics are EXACTLY the per-packet tracker's (parity scope: the DF17

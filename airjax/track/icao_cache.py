@@ -15,19 +15,34 @@ import time
 
 
 class IcaoCache:
+    # A sweep fires when the table doubles past this floor — amortized
+    # O(1) per add, so a months-long live run can't accumulate stale
+    # never-requeried ICAOs (VERDICT r4: query-miss pruning alone leaks).
+    _SWEEP_FLOOR = 64
+
     def __init__(self, max_age_s: float = 60.0):
         self.max_age_s = max_age_s
         self._seen: dict[int, float] = {}
+        self._next_sweep_size = self._SWEEP_FLOOR
+
+    def _maybe_sweep(self, now: float) -> None:
+        if len(self._seen) < self._next_sweep_size:
+            return
+        cutoff = now - self.max_age_s
+        self._seen = {k: t for k, t in self._seen.items() if t >= cutoff}
+        self._next_sweep_size = max(self._SWEEP_FLOOR, 2 * len(self._seen))
 
     def add(self, icao: int, now: float | None = None) -> None:
-        self._seen[icao] = time.time() if now is None else now
+        now = time.time() if now is None else now
+        self._seen[icao] = now
+        self._maybe_sweep(now)
 
     def add_many(self, icaos, now: float | None = None) -> None:
         """Bulk add (one dict update — the batched sink seeds a whole
         block's pass-1 ICAOs at once). Same state as repeated add()."""
-        self._seen.update(
-            dict.fromkeys(icaos, time.time() if now is None else now)
-        )
+        now = time.time() if now is None else now
+        self._seen.update(dict.fromkeys(icaos, now))
+        self._maybe_sweep(now)
 
     def contains(self, icao: int, now: float | None = None) -> bool:
         t = self._seen.get(icao)

@@ -171,7 +171,8 @@ function draw() {
   // Reference utils.ts:9-11: measured text height off the canvas.
   function getTextMetrics(sample) {
     const m = ctx.measureText(sample);
-    if (m.actualBoundingBoxAscent == null) return [-1, -1];
+    if (m.actualBoundingBoxAscent == null || m.actualBoundingBoxDescent == null)
+      return [-1, -1];
     return [m.actualBoundingBoxAscent, m.actualBoundingBoxDescent];
   }
   const hoverIcao = hitIcao();

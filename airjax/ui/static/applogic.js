@@ -100,8 +100,10 @@ function textHeight(ascent, descent) {
 
 function lineAdvance(ascent, descent, pad, dpr) {
   const th = textHeight(ascent, descent);
-  if (th <= 0) { return 16 * dpr; }
-  return pad + th;
+  // Positive-gate rather than th <= 0: NaN metrics (one bounding box
+  // defined, the other undefined) must also fall back to fixed rows.
+  if (th > 0) { return pad + th; }
+  return 16 * dpr;
 }
 
 // Panel height: 2*pad margins + one advance per line (aircraft.ts:93).

@@ -155,6 +155,15 @@ def test_text_metrics_layout(js):
     assert js["textHeight"](-1.0, 3.0) == -1.0
     assert js["lineAdvance"](-1.0, -1.0, 4.0, 2.0) == 32.0
     assert js["panelHeight"](-1.0, -1.0, 4.0, 3.0, 1.0) == 8.0 + 16.0 * 3
+    # NaN metrics (canvas returns ascent but undefined descent -> NaN
+    # text height) must ALSO fall back, not poison the panel geometry
+    # (ADVICE r4): !(th > 0) catches NaN where th <= 0 does not.
+    nan = float("nan")
+    assert js["lineAdvance"](9.0, nan, 4.0, 2.0) == 32.0
+    assert js["panelHeight"](nan, nan, 4.0, 3.0, 1.0) == 8.0 + 16.0 * 3
+    # getTextMetrics itself now rejects half-defined metrics objects.
+    app = (STATIC / "app.js").read_text()
+    assert "m.actualBoundingBoxDescent == null" in app
 
 
 def test_app_uses_measured_text_metrics():

@@ -109,21 +109,28 @@ def sweep_extended(
         got = {"df17": 0, "df11": 0, "df4": 0}
         golden_got = {"df17": 0, "df11": 0, "df4": 0}
         per_kind_total = 2 * captures_per_snr
+        regrows = 0
         for c in range(captures_per_snr):
             iq = synth.modulate(
                 frames, offsets, capture_len,
                 snr_db=snr, seed=seed * 90001 + int(snr * 10) * 31 + c,
             )
+            # A noisy capture overflowing the candidate capacity would
+            # silently drop embedded offsets and could spuriously trip
+            # the --golden divergence assert below (ADVICE r3) — and the
+            # DF>=24 candidate-class widening (r4) raised the pressure
+            # (ADVICE r4). Regrow like the pipeline does and surface the
+            # count per SNR point instead of hard-asserting.
+            capacity = 512
             out = jax.device_get(
-                decode_iq_block_extended(jnp.asarray(iq), n_off, 512)
+                decode_iq_block_extended(jnp.asarray(iq), n_off, capacity)
             )
-            # A noisy capture overflowing the 512-candidate capacity
-            # would silently drop embedded offsets and could spuriously
-            # trip the --golden divergence assert below (ADVICE r3).
-            assert not bool(out["overflow"]), (
-                f"candidate capacity overflow at snr={snr} dB; raise "
-                "the capacity in sweep_extended"
-            )
+            while bool(out["overflow"]) and capacity < n_off:
+                capacity = min(capacity * 4, n_off)
+                regrows += 1
+                out = jax.device_get(
+                    decode_iq_block_extended(jnp.asarray(iq), n_off, capacity)
+                )
             offs = np.asarray(out["offsets"])
             for i, off in enumerate(offsets):
                 k = np.nonzero(offs == off)[0]
@@ -156,6 +163,7 @@ def sweep_extended(
                 f"decode_rate_{k}": round(v / per_kind_total, 4)
                 for k, v in got.items()
             },
+            "capacity_regrows": regrows,
         }
         if check_golden:
             for k in got:
