@@ -147,12 +147,19 @@ def decode_capture_sharded(
     mesh: Mesh,
     capacity_per_shard: int = 256,
     axis: str = TIME_AXIS,
+    gather: str = "compact",
+    compact_capacity: int | None = None,
 ):
     """Host convenience: pad, run the sharded decoder, collect ordered hits.
 
     Returns (hits, stats); hits are (0, global_offset, frame_bytes,
     recovered) tuples sorted by offset — the same schema as
     airjax.pipeline.decode_capture_overlap.
+
+    gather="compact" (default) runs the hit-proportional cross-shard
+    compaction (build_sharded_decoder_compact): the host fetch carries
+    ~n_good rows instead of D*K (stats["fetched_bytes"] records it).
+    gather="dense" keeps the classic (D*K,) fetch for A/B.
     """
     import numpy as np
 
@@ -168,6 +175,57 @@ def decode_capture_sharded(
     padded_len = block * n_dev
     arr = pad_iq_non_detecting(np.asarray(iq, dtype=np.int16), padded_len)
     iq_dev = jnp.asarray(arr)
+    max_offset = n - WINDOW
+    hits = []
+
+    if gather == "compact":
+        C = compact_capacity or max(128, capacity_per_shard)
+        step = build_sharded_decoder_compact(
+            mesh, padded_len, capacity_per_shard, C, axis
+        )
+        out = step(iq_dev)
+        # Fetch the scalars first; regrow per-shard AND global compact
+        # capacity on overflow (either flag forces a rerun).
+        scal = jax.device_get(
+            {k: out[k] for k in ("n_good", "n_detections", "overflow")}
+        )
+        while bool(scal["overflow"]) and (
+            capacity_per_shard < block or C < n_dev * block
+        ):
+            capacity_per_shard = min(capacity_per_shard * 4, block)
+            C = min(C * 4, n_dev * block)
+            step = build_sharded_decoder_compact(
+                mesh, padded_len, capacity_per_shard, C, axis
+            )
+            out = step(iq_dev)
+            scal = jax.device_get(
+                {k: out[k] for k in ("n_good", "n_detections", "overflow")}
+            )
+        n_good = int(scal["n_good"])
+        # Hit-proportional fetch: n_good rows, not D*K.
+        rows = jax.device_get(
+            {
+                "offsets": out["offsets"][:n_good],
+                "recovered": out["recovered"][:n_good],
+                "frames": out["frames"][:n_good],
+            }
+        )
+        for k in range(n_good):
+            off = int(rows["offsets"][k])
+            if off <= max_offset:
+                hits.append(
+                    (0, off, rows["frames"][k].tobytes(), bool(rows["recovered"][k]))
+                )
+        stats = {
+            "n_detections": int(scal["n_detections"]),
+            "n_good": n_good,
+            "overflow": bool(scal["overflow"]),
+            "capacity_per_shard": capacity_per_shard,
+            "compact_capacity": C,
+            "fetched_bytes": n_good * (4 + 4 + 14),
+        }
+        return hits, stats
+
     step = build_sharded_decoder(mesh, padded_len, capacity_per_shard, axis)
     out = jax.device_get(step(iq_dev))
     # Adaptive regrow on per-shard capacity overflow — a detection storm in
@@ -177,8 +235,6 @@ def decode_capture_sharded(
         step = build_sharded_decoder(mesh, padded_len, capacity_per_shard, axis)
         out = jax.device_get(step(iq_dev))
 
-    max_offset = n - WINDOW
-    hits = []
     for k in np.nonzero(out["good"])[0]:
         off = int(out["offsets"][k])
         if off <= max_offset:
@@ -192,8 +248,159 @@ def decode_capture_sharded(
         "overflow": bool(out["overflow"]),
         # Final capacity: > the caller's argument iff the regrow loop fired.
         "capacity_per_shard": capacity_per_shard,
+        "fetched_bytes": out["offsets"].size * (4 + 1 + 1) + out["frames"].size,
     }
     return hits, stats
+
+
+# ---------------------------------------------------------------------------
+# Hit-proportional candidate gather (VERDICT r4 item 3)
+# ---------------------------------------------------------------------------
+#
+# The dense sharded decoders above return (D*K,) candidate arrays: at
+# K=256/2048 per shard the host fetch (and, on a pod, the host-0 DCN
+# gather) carries D*K*rowbytes even when n_good ~ 20. The compact
+# builders below add a cross-shard device-side compaction: per-shard
+# good/candidate slots are re-compacted to the front (gather-based, no
+# big scatters), per-shard counts are all-gathered to derive each
+# shard's global write base (an exclusive scan over D scalars), and each
+# shard contributes its rows into a REPLICATED (C,) buffer via
+# dynamic_update_slice + psum — rows land offset-sorted (ascending shard
+# base x ascending in-shard offset), zero rows sum transparently, and
+# the ICI collective does the gather so the host fetches ~n_good rows
+# instead of D*K.
+
+
+def _compact_local(mask: jnp.ndarray, capacity: int):
+    """Indices of True slots in ascending order: (safe_sel, valid_out,
+    count). safe_sel is clamped to 0 for invalid output slots (callers
+    mask the gathered payload with valid_out)."""
+    from airjax.dsp.demod import compact_detections
+
+    sel, valid_out, count = compact_detections(mask, capacity)
+    return jnp.where(valid_out, sel, 0), valid_out, count.astype(jnp.int32)
+
+
+def _scatter_to_global(
+    values: jnp.ndarray,
+    valid_out: jnp.ndarray,
+    base: jnp.ndarray,
+    compact_capacity: int,
+    axis: str,
+) -> jnp.ndarray:
+    """Contribute this shard's compacted-to-front rows at [base,
+    base+count) of a replicated (compact_capacity, ...) buffer.
+
+    Invalid rows are zeroed so overlapping pad regions sum transparently
+    under psum; the buffer is oversized by K rows so a full shard never
+    writes past the end (XLA clamps dynamic_update_slice starts — a
+    clamped write can only corrupt rows when total > C, which the
+    overflow flag already forces the caller to discard)."""
+    k = values.shape[0]
+    v = jnp.where(
+        valid_out.reshape((k,) + (1,) * (values.ndim - 1)), values, 0
+    ).astype(jnp.int32)
+    buf = jnp.zeros((compact_capacity + k,) + values.shape[1:], jnp.int32)
+    buf = jax.lax.dynamic_update_slice(
+        buf, v, (base,) + (0,) * (values.ndim - 1)
+    )
+    return jax.lax.psum(buf, axis)[:compact_capacity]
+
+
+def _global_base(count: jnp.ndarray, n_dev: int, axis: str):
+    """(base, total): this shard's exclusive-prefix write position and
+    the pod-wide row count, from one (D,)-scalar all_gather."""
+    counts = jax.lax.all_gather(count, axis)  # (D,)
+    my = jax.lax.axis_index(axis)
+    base = jnp.sum(
+        jnp.where(jnp.arange(n_dev) < my, counts, 0), dtype=jnp.int32
+    )
+    # total via psum (not a sum over the gathered vector): psum's result
+    # is provably replicated, which shard_map's out_specs=P() check needs.
+    return base, jax.lax.psum(count, axis)
+
+
+def build_sharded_decoder_compact(
+    mesh: Mesh,
+    n_samples: int,
+    capacity_per_shard: int,
+    compact_capacity: int,
+    axis: str = TIME_AXIS,
+):
+    """Sharded DF17 decode with hit-proportional output.
+
+    Same scan as build_sharded_decoder, but the result is a REPLICATED
+    compact dict sized by `compact_capacity` (global, across all
+    shards) instead of dense (D*K,) arrays:
+
+      offsets   (C,) int32  global sample offsets, offset-sorted; rows
+                            >= n_good are zero
+      recovered (C,) bool
+      frames    (C, 14) uint8
+      n_good, n_detections () int32
+      overflow  () bool — per-shard candidate overflow OR n_good > C;
+                          callers must regrow and rerun on it.
+    """
+    n_dev = mesh.shape[axis]
+    if n_samples % n_dev != 0:
+        raise ValueError(f"n_samples {n_samples} not divisible by mesh size {n_dev}")
+    block = n_samples // n_dev
+    if block < HALO:
+        raise ValueError(f"per-shard block {block} smaller than halo {HALO}")
+    halo_n = _halo_size(block)
+    max_offset = n_samples - WINDOW
+    perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    K, C = capacity_per_shard, compact_capacity
+
+    def local_step(iq_local: jnp.ndarray) -> dict[str, jnp.ndarray]:
+        mags = magnitude_u16(iq_local)
+        halo = jax.lax.ppermute(mags[:halo_n], axis, perm)
+        ext = jnp.concatenate([mags, halo])
+        res = decode_mags_block(ext, block, K)
+        shard_base = jax.lax.axis_index(axis).astype(jnp.int32) * block
+        global_offsets = res["offsets"] + shard_base
+        mask = res["good"] & res["valid"] & (global_offsets <= max_offset)
+        sel, valid_out, count = _compact_local(mask, K)
+        base, total = _global_base(count, n_dev, axis)
+        return {
+            "offsets": _scatter_to_global(
+                global_offsets[sel], valid_out, base, C, axis
+            ),
+            "recovered": _scatter_to_global(
+                res["recovered"][sel].astype(jnp.int32), valid_out, base, C, axis
+            ).astype(bool),
+            "frames": _scatter_to_global(
+                res["frames"][sel].astype(jnp.int32), valid_out, base, C, axis
+            ).astype(jnp.uint8),
+            "n_good": total,
+            "n_detections": jax.lax.psum(res["n_detections"], axis),
+            "overflow": jax.lax.psum(res["overflow"].astype(jnp.int32), axis)
+            > 0,
+        }
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=PartitionSpec(axis, None),
+        out_specs={
+            "offsets": PartitionSpec(),
+            "recovered": PartitionSpec(),
+            "frames": PartitionSpec(),
+            "n_good": PartitionSpec(),
+            "n_detections": PartitionSpec(),
+            "overflow": PartitionSpec(),
+        },
+    )
+    in_sharding = NamedSharding(mesh, PartitionSpec(axis, None))
+
+    @jax.jit
+    def step(iq: jnp.ndarray):
+        iq = jax.lax.with_sharding_constraint(iq, in_sharding)
+        out = sharded(iq)
+        out["overflow"] = out["overflow"] | (out["n_good"] > C)
+        return out
+
+    return step
 
 
 # ---------------------------------------------------------------------------
@@ -288,6 +495,120 @@ def build_sharded_decoder_extended(
     return step
 
 
+def build_sharded_decoder_extended_compact(
+    mesh: Mesh,
+    n_samples: int,
+    capacity_per_shard: int,
+    compact_capacity: int,
+    axis: str = TIME_AXIS,
+):
+    """Extended sharded decode with hit-proportional output.
+
+    Candidate rows (union of every validity class in _EXT_MASK_KEYS) are
+    compacted across shards into a replicated (C,) buffer; the six class
+    booleans ride as one packed uint8 `classmask` (bit i =
+    _EXT_MASK_KEYS[i]) that `unpack_extended_compact` re-expands into
+    the dict airjax.extended.assemble_extended consumes. Output:
+
+      offsets (C,) int32 · classmask (C,) uint8 · df (C,) int32 ·
+      icao_ap_short/long (C,) int32 · frames/frames_raw (C, 14) uint8 ·
+      n_candidates, n_detections () int32 · overflow () bool
+    """
+    n_dev = mesh.shape[axis]
+    if n_samples % n_dev != 0:
+        raise ValueError(f"n_samples {n_samples} not divisible by mesh size {n_dev}")
+    block = n_samples // n_dev
+    if block < HALO:
+        raise ValueError(f"per-shard block {block} smaller than halo {HALO}")
+    halo_n = _halo_size(block)
+    max_offset = n_samples - WINDOW
+    perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    K, C = capacity_per_shard, compact_capacity
+
+    def local_step(iq_local: jnp.ndarray) -> dict[str, jnp.ndarray]:
+        mags = magnitude_u16(iq_local)
+        halo = jax.lax.ppermute(mags[:halo_n], axis, perm)
+        ext = jnp.concatenate([mags, halo])
+        res = decode_mags_block_extended(ext, block, K)
+        shard_base = jax.lax.axis_index(axis).astype(jnp.int32) * block
+        global_offsets = res["offsets"] + shard_base
+        in_range = res["valid"] & (global_offsets <= max_offset)
+        classes = [res[k] & in_range for k in _EXT_MASK_KEYS]
+        classmask = jnp.zeros(K, jnp.int32)
+        union = jnp.zeros(K, bool)
+        for i, cls in enumerate(classes):
+            classmask = classmask | (cls.astype(jnp.int32) << i)
+            union = union | cls
+        sel, valid_out, count = _compact_local(union, K)
+        base, total = _global_base(count, n_dev, axis)
+
+        def scat(v):
+            return _scatter_to_global(v, valid_out, base, C, axis)
+
+        return {
+            "offsets": scat(global_offsets[sel]),
+            "classmask": scat(classmask[sel]).astype(jnp.uint8),
+            "df": scat(res["df"][sel].astype(jnp.int32)),
+            "icao_ap_short": scat(res["icao_ap_short"][sel].astype(jnp.int32)),
+            "icao_ap_long": scat(res["icao_ap_long"][sel].astype(jnp.int32)),
+            "frames": scat(res["frames"][sel].astype(jnp.int32)).astype(
+                jnp.uint8
+            ),
+            "frames_raw": scat(
+                res["frames_raw"][sel].astype(jnp.int32)
+            ).astype(jnp.uint8),
+            "n_candidates": total,
+            "n_detections": jax.lax.psum(res["n_detections"], axis),
+            "overflow": jax.lax.psum(res["overflow"].astype(jnp.int32), axis)
+            > 0,
+        }
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=PartitionSpec(axis, None),
+        out_specs={
+            k: PartitionSpec()
+            for k in (
+                "offsets", "classmask", "df", "icao_ap_short", "icao_ap_long",
+                "frames", "frames_raw", "n_candidates", "n_detections",
+                "overflow",
+            )
+        },
+    )
+    in_sharding = NamedSharding(mesh, PartitionSpec(axis, None))
+
+    @jax.jit
+    def step(iq: jnp.ndarray):
+        iq = jax.lax.with_sharding_constraint(iq, in_sharding)
+        out = sharded(iq)
+        out["overflow"] = out["overflow"] | (out["n_candidates"] > C)
+        return out
+
+    return step
+
+
+def unpack_extended_compact(out: dict, n: int | None = None) -> dict:
+    """Expand a fetched compact extended dict (numpy) into the schema
+    airjax.extended.assemble_extended consumes: per-class boolean arrays
+    from the packed classmask, arrays sliced to the candidate count."""
+    import numpy as np
+
+    n = int(out["n_candidates"]) if n is None else n
+    cm = np.asarray(out["classmask"][:n])
+    unpacked = {
+        "offsets": np.asarray(out["offsets"][:n]),
+        "df": np.asarray(out["df"][:n]),
+        "icao_ap_short": np.asarray(out["icao_ap_short"][:n]),
+        "icao_ap_long": np.asarray(out["icao_ap_long"][:n]),
+        "frames": np.asarray(out["frames"][:n]),
+        "frames_raw": np.asarray(out["frames_raw"][:n]),
+    }
+    for i, k in enumerate(_EXT_MASK_KEYS):
+        unpacked[k] = (cm >> i) & 1 > 0
+    return unpacked
+
+
 def decode_capture_sharded_extended(
     iq,
     mesh: Mesh,
@@ -295,6 +616,8 @@ def decode_capture_sharded_extended(
     axis: str = TIME_AXIS,
     now: float = 0.0,
     cache=None,
+    gather: str = "compact",
+    compact_capacity: int | None = None,
 ):
     """Host convenience: sharded extended decode -> ordered typed packets.
 
@@ -302,6 +625,10 @@ def decode_capture_sharded_extended(
     airjax.extended.assemble_extended — identical semantics to decoding the
     whole capture as ONE extended block (the ICAO acceptance cache sees all
     CRC-validated frames before any AP-addressed candidate is gated).
+
+    gather="compact" (default) fetches only candidate rows via the
+    cross-shard compaction (build_sharded_decoder_extended_compact);
+    "dense" keeps the (D*K,) fetch for A/B.
     """
     import numpy as np
 
@@ -315,6 +642,59 @@ def decode_capture_sharded_extended(
     padded_len = block * n_dev
     arr = pad_iq_non_detecting(np.asarray(iq, dtype=np.int16), padded_len)
     iq_dev = jnp.asarray(arr)
+    max_offset = n - WINDOW
+
+    if gather == "compact":
+        C = compact_capacity or max(512, capacity_per_shard)
+        step = build_sharded_decoder_extended_compact(
+            mesh, padded_len, capacity_per_shard, C, axis
+        )
+        out = step(iq_dev)
+        scal = jax.device_get(
+            {k: out[k] for k in ("n_candidates", "n_detections", "overflow")}
+        )
+        while bool(scal["overflow"]) and (
+            capacity_per_shard < block or C < n_dev * block
+        ):
+            capacity_per_shard = min(capacity_per_shard * 4, block)
+            C = min(C * 4, n_dev * block)
+            step = build_sharded_decoder_extended_compact(
+                mesh, padded_len, capacity_per_shard, C, axis
+            )
+            out = step(iq_dev)
+            scal = jax.device_get(
+                {k: out[k] for k in ("n_candidates", "n_detections", "overflow")}
+            )
+        n_cand = int(scal["n_candidates"])
+        fetched = jax.device_get({
+            k: out[k][:n_cand]
+            for k in (
+                "offsets", "classmask", "df", "icao_ap_short",
+                "icao_ap_long", "frames", "frames_raw",
+            )
+        })
+        fetched["n_candidates"] = n_cand
+        unpacked = unpack_extended_compact(fetched, n_cand)
+        # Bound offsets by the true capture (windows past len(iq) were
+        # never real — the device mask only knew the padded length).
+        in_cap = unpacked["offsets"] <= max_offset
+        for k in _EXT_MASK_KEYS:
+            unpacked[k] = unpacked[k] & in_cap
+        packets = assemble_extended(
+            unpacked, now, cache if cache is not None else IcaoCache()
+        )
+        stats = {
+            "n_detections": int(scal["n_detections"]),
+            "n_good_long": int(np.sum(unpacked["good_long"])),
+            "n_good_df11": int(np.sum(unpacked["good_df11"])),
+            "overflow": bool(scal["overflow"]),
+            "capacity_per_shard": capacity_per_shard,
+            "compact_capacity": C,
+            "n_candidates": n_cand,
+            "fetched_bytes": n_cand * (4 + 1 + 4 + 4 + 4 + 14 + 14),
+        }
+        return packets, stats
+
     step = build_sharded_decoder_extended(mesh, padded_len, capacity_per_shard, axis)
     out = jax.device_get(step(iq_dev))
     while bool(out["overflow"]) and capacity_per_shard < block:
@@ -326,7 +706,6 @@ def decode_capture_sharded_extended(
 
     # The padded-capture mask already bounded offsets by padded_len; bound
     # them by the true capture here (windows past len(iq) were never real).
-    max_offset = n - WINDOW
     in_cap = np.asarray(out["offsets"]) <= max_offset
     for k in _EXT_MASK_KEYS:
         out[k] = np.asarray(out[k]) & in_cap

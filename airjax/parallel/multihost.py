@@ -61,14 +61,25 @@ def decode_capture(
     local_iq: np.ndarray,
     capacity_per_shard: int = 256,
     axis: str = TIME_AXIS,
+    gather: str = "compact",
+    compact_capacity: int | None = None,
 ):
     """Decode a capture whose span is distributed across hosts.
 
     Every process calls this with its own contiguous span (equal sizes).
     Returns (hits, stats) — identical on every host after the gather;
     hits are (0, global_offset, frame_bytes, recovered), offset-ordered.
+
+    gather="compact" (default): the cross-shard device-side compaction
+    (halo.build_sharded_decoder_compact) returns REPLICATED ~n_good-row
+    arrays, so no process_allgather is needed at all — the psum inside
+    the sharded program already moved the (tiny) hit rows over ICI/DCN,
+    and each host fetches its local replica. "dense" keeps the classic
+    (D*K,) arrays + explicit allgather for A/B.
     """
     from jax.experimental import multihost_utils
+
+    from airjax.parallel.halo import build_sharded_decoder_compact
 
     mesh = global_mesh(axis)
     n_dev = mesh.shape[axis]
@@ -79,6 +90,58 @@ def decode_capture(
             f"global samples {n_global} not divisible by {n_dev} devices"
         )
     iq_global = ingest_process_local(local, mesh, axis)
+    block = n_global // n_dev
+    max_offset = n_global - WINDOW
+
+    if gather == "compact":
+        C = compact_capacity or max(128, capacity_per_shard)
+        step = build_sharded_decoder_compact(
+            mesh, n_global, capacity_per_shard, C, axis
+        )
+        out = step(iq_global)
+        # Overflow covers per-shard candidate capacity AND the global
+        # compact buffer; replicated, so every process regrows in step.
+        while bool(jax.device_get(out["overflow"])) and (
+            capacity_per_shard < block or C < n_dev * block
+        ):
+            capacity_per_shard = min(capacity_per_shard * 4, block)
+            C = min(C * 4, n_dev * block)
+            step = build_sharded_decoder_compact(
+                mesh, n_global, capacity_per_shard, C, axis
+            )
+            out = step(iq_global)
+        n_good = int(jax.device_get(out["n_good"]))
+        rows = jax.device_get(
+            {
+                "offsets": out["offsets"][:n_good],
+                "recovered": out["recovered"][:n_good],
+                "frames": out["frames"][:n_good],
+            }
+        )
+        hits = []
+        for k in range(n_good):
+            off = int(rows["offsets"][k])
+            if off <= max_offset:
+                hits.append(
+                    (
+                        0,
+                        off,
+                        np.asarray(rows["frames"][k]).tobytes(),
+                        bool(rows["recovered"][k]),
+                    )
+                )
+        stats = {
+            "n_detections": int(jax.device_get(out["n_detections"])),
+            "n_good": n_good,
+            "overflow": bool(jax.device_get(out["overflow"])),
+            "capacity_per_shard": capacity_per_shard,
+            "compact_capacity": C,
+            "fetched_bytes": n_good * (4 + 4 + 14),
+            "processes": jax.process_count(),
+            "devices": n_dev,
+        }
+        return hits, stats
+
     step = build_sharded_decoder(mesh, n_global, capacity_per_shard, axis)
     out = step(iq_global)
     # Adaptive regrow on per-shard capacity overflow, mirroring
@@ -86,7 +149,6 @@ def decode_capture(
     # one shard would silently truncate the hit list. The overflow flag
     # is replicated (jnp.any over shards), so every process takes the
     # same number of regrow iterations.
-    block = n_global // n_dev
     while bool(jax.device_get(out["overflow"])) and capacity_per_shard < block:
         capacity_per_shard = min(capacity_per_shard * 4, block)
         step = build_sharded_decoder(mesh, n_global, capacity_per_shard, axis)
@@ -100,7 +162,6 @@ def decode_capture(
         for k in ("offsets", "good", "recovered", "frames")
     } if jax.process_count() > 1 else jax.device_get(out)
 
-    max_offset = n_global - WINDOW
     hits = []
     for k in np.nonzero(np.asarray(gathered["good"]))[0]:
         off = int(gathered["offsets"][k])
@@ -126,18 +187,29 @@ def decode_capture(
 
 
 def _gather_extended_arrays(
-    local_iq: np.ndarray, capacity_per_shard: int, axis: str
+    local_iq: np.ndarray,
+    capacity_per_shard: int,
+    axis: str,
+    gather: str = "compact",
+    compact_capacity: int | None = None,
 ) -> tuple[dict, dict]:
     """Shared core of the extended multi-host decoders: run the sharded
-    extended pipeline over the pod (with overflow regrow), then
-    process_allgather the small candidate arrays so every host holds the
-    identical gathered dict. Returns (gathered, stats)."""
+    extended pipeline over the pod (with overflow regrow) and return the
+    (gathered, stats) candidate dict every host holds identically.
+
+    gather="compact" (default): the cross-shard compaction returns
+    REPLICATED ~n_candidates-row arrays — the psum inside the sharded
+    program is the gather, each host fetches its local replica, and no
+    process_allgather runs at all. "dense" keeps the (D*K,) arrays +
+    explicit allgather for A/B."""
     from jax.experimental import multihost_utils
 
     from airjax.parallel.halo import (
         _EXT_DATA_KEYS,
         _EXT_MASK_KEYS,
         build_sharded_decoder_extended,
+        build_sharded_decoder_extended_compact,
+        unpack_extended_compact,
     )
 
     mesh = global_mesh(axis)
@@ -149,6 +221,46 @@ def _gather_extended_arrays(
             f"global samples {n_global} not divisible by {n_dev} devices"
         )
     iq_global = ingest_process_local(local, mesh, axis)
+    block = n_global // n_dev
+
+    if gather == "compact":
+        C = compact_capacity or max(512, capacity_per_shard)
+        step = build_sharded_decoder_extended_compact(
+            mesh, n_global, capacity_per_shard, C, axis
+        )
+        out = step(iq_global)
+        while bool(jax.device_get(out["overflow"])) and (
+            capacity_per_shard < block or C < n_dev * block
+        ):
+            capacity_per_shard = min(capacity_per_shard * 4, block)
+            C = min(C * 4, n_dev * block)
+            step = build_sharded_decoder_extended_compact(
+                mesh, n_global, capacity_per_shard, C, axis
+            )
+            out = step(iq_global)
+        n_cand = int(jax.device_get(out["n_candidates"]))
+        fetched = jax.device_get({
+            k: out[k][:n_cand]
+            for k in (
+                "offsets", "classmask", "df", "icao_ap_short",
+                "icao_ap_long", "frames", "frames_raw",
+            )
+        })
+        gathered = unpack_extended_compact(fetched, n_cand)
+        stats = {
+            "n_detections": int(jax.device_get(out["n_detections"])),
+            "n_good_long": int(np.sum(gathered["good_long"])),
+            "n_good_df11": int(np.sum(gathered["good_df11"])),
+            "overflow": bool(jax.device_get(out["overflow"])),
+            "capacity_per_shard": capacity_per_shard,
+            "compact_capacity": C,
+            "n_candidates": n_cand,
+            "fetched_bytes": n_cand * (4 + 1 + 4 + 4 + 4 + 14 + 14),
+            "processes": jax.process_count(),
+            "devices": n_dev,
+        }
+        return gathered, stats
+
     step = build_sharded_decoder_extended(
         mesh, n_global, capacity_per_shard, axis
     )
@@ -156,7 +268,6 @@ def _gather_extended_arrays(
     # Regrow on overflow like decode_capture_sharded_extended: the
     # extended preamble-only gate fires far more often than the DF17
     # stencil, so truncation here would drop real validated frames.
-    block = n_global // n_dev
     while bool(jax.device_get(out["overflow"])) and capacity_per_shard < block:
         capacity_per_shard = min(capacity_per_shard * 4, block)
         step = build_sharded_decoder_extended(
@@ -189,6 +300,7 @@ def decode_capture_extended(
     axis: str = TIME_AXIS,
     now: float = 0.0,
     cache=None,
+    gather: str = "compact",
 ):
     """Extended-mode (every Mode S downlink format) multi-host decode.
 
@@ -205,7 +317,7 @@ def decode_capture_extended(
     from airjax.track.icao_cache import IcaoCache
 
     gathered, stats = _gather_extended_arrays(
-        local_iq, capacity_per_shard, axis
+        local_iq, capacity_per_shard, axis, gather=gather
     )
     packets = assemble_extended(
         gathered, now, cache if cache is not None else IcaoCache()
@@ -240,6 +352,7 @@ def decode_capture_extended_batched(
     axis: str = TIME_AXIS,
     now: float = 0.0,
     cache=None,
+    gather: str = "compact",
 ):
     """Multi-host extended decode driving a BATCHED tracker sink.
 
@@ -251,7 +364,7 @@ def decode_capture_extended_batched(
     from airjax.track.icao_cache import IcaoCache
 
     gathered, stats = _gather_extended_arrays(
-        local_iq, capacity_per_shard, axis
+        local_iq, capacity_per_shard, axis, gather=gather
     )
     attach_candidate_fields(gathered)
     applied = tracker.on_extended_block(
