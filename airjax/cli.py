@@ -155,6 +155,43 @@ def _cmd_adsb_inner(args) -> int:
         source = itertools.islice(iter(source), args.max_blocks)
 
     overlap = not args.no_overlap
+    if args.devices is not None:
+        if args.no_overlap:
+            print(
+                "error: --devices requires overlap mode (the sharded "
+                "runner's halo IS the overlap)",
+                file=sys.stderr,
+            )
+            return 2
+        if args.plot_dir or args.dump_preamble:
+            print(
+                "error: --plot-dir/--dump-preamble are single-device "
+                "debug aids; drop --devices to use them",
+                file=sys.stderr,
+            )
+            return 2
+
+    def _run(source, sink, stats=None):
+        """Dispatch to the single-device or the mesh-sharded stream
+        runner (--devices N; VERDICT r4 item 1)."""
+        if args.devices is not None:
+            from airjax.runner import run_stream_sharded
+
+            return run_stream_sharded(
+                source, sink,
+                n_devices=args.devices,
+                extended=args.extended,
+                stats=stats,
+            )
+        return run_stream(
+            source, sink,
+            overlap=overlap,
+            extended=args.extended,
+            stats=stats,
+            plot_dir=args.plot_dir,
+            dump_preamble=args.dump_preamble,
+        )
+
     ref_position = None
     if (args.ref_lat is None) != (args.ref_lon is None):
         print(
@@ -206,10 +243,7 @@ def _cmd_adsb_inner(args) -> int:
         sink = stream_printer()
         if args.jsonl:
             sink = tee(sink, jsonl_writer(args.jsonl))
-        stats = run_stream(
-            source, sink, overlap=overlap, plot_dir=args.plot_dir,
-            extended=args.extended, dump_preamble=args.dump_preamble,
-        )
+        stats = _run(source, sink)
         observability.log_stats("adsb_stream_done", stats.as_dict())
     elif args.mode == "interactive":
         import threading
@@ -228,13 +262,9 @@ def _cmd_adsb_inner(args) -> int:
 
         tui_stats = StreamStats()
         decode_thread = threading.Thread(
-            target=run_stream,
+            target=_run,
             args=(source, tui_sink),
-            kwargs={
-                "overlap": overlap,
-                "extended": args.extended,
-                "stats": tui_stats,
-            },
+            kwargs={"stats": tui_stats},
             daemon=True,
         )
         decode_thread.start()
@@ -268,9 +298,7 @@ def _cmd_adsb_inner(args) -> int:
             else display.on_packet
         )
         try:
-            stats = run_stream(
-                source, sink, overlap=overlap, extended=args.extended
-            )
+            stats = _run(source, sink)
             observability.log_stats("adsb_web_done", stats.as_dict())
             print("source exhausted; web server still running (Ctrl-C to quit)")
             import time
@@ -364,6 +392,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--trace", default=None, metavar="DIR",
         help="write a jax.profiler device/host trace of the run to DIR "
         "(view in TensorBoard / Perfetto; extension)",
+    )
+    adsb.add_argument(
+        "--devices", type=int, default=None, metavar="N",
+        help="shard the decode over the first N devices of the mesh "
+        "(continuous stream, ppermute halo between shards, cross-step "
+        "carry; default: single-device runner). Extension — the "
+        "reference is strictly single-threaded per stage",
     )
     adsb.add_argument(
         "--evict-after", type=float, default=None, metavar="SECONDS",

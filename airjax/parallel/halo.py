@@ -326,6 +326,7 @@ def build_sharded_decoder_compact(
     capacity_per_shard: int,
     compact_capacity: int,
     axis: str = TIME_AXIS,
+    with_fields: bool = False,
 ):
     """Sharded DF17 decode with hit-proportional output.
 
@@ -398,6 +399,13 @@ def build_sharded_decoder_compact(
         iq = jax.lax.with_sharding_constraint(iq, in_sharding)
         out = sharded(iq)
         out["overflow"] = out["overflow"] | (out["n_good"] > C)
+        if with_fields:
+            # Batched-sink support: protocol fields extracted on the
+            # (tiny) replicated compact buffer inside the same program —
+            # no extra host->device round trip per stream step.
+            from airjax.protocol.fields import extract_fields
+
+            out["fields"] = extract_fields(out["frames"])
         return out
 
     return step
@@ -501,6 +509,7 @@ def build_sharded_decoder_extended_compact(
     capacity_per_shard: int,
     compact_capacity: int,
     axis: str = TIME_AXIS,
+    with_fields: bool = False,
 ):
     """Extended sharded decode with hit-proportional output.
 
@@ -583,6 +592,15 @@ def build_sharded_decoder_extended_compact(
         iq = jax.lax.with_sharding_constraint(iq, in_sharding)
         out = sharded(iq)
         out["overflow"] = out["overflow"] | (out["n_candidates"] > C)
+        if with_fields:
+            # Batched-sink support (see build_sharded_decoder_compact).
+            from airjax.protocol.fields import extract_fields
+            from airjax.protocol.shortframe import extract_short_fields_from_raw
+
+            out["fields"] = extract_fields(out["frames"])
+            out["short_fields"] = extract_short_fields_from_raw(
+                out["frames_raw"]
+            )
         return out
 
     return step

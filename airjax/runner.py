@@ -307,3 +307,227 @@ def run_stream(
     while inflight:
         _process(inflight.popleft())
     return stats
+
+
+def run_stream_sharded(
+    source: Iterator[np.ndarray],
+    on_packet: Callable[[AdsbPacket], None],
+    mesh=None,
+    n_devices: int | None = None,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    stats: StreamStats | None = None,
+    extended: bool = False,
+    shard_block: int | None = None,
+    capacity_per_shard: int | None = None,
+    compact_capacity: int | None = None,
+    pipeline_depth: int = 1,
+) -> StreamStats:
+    """Continuous-stream decode sharded over a device mesh (VERDICT r4
+    item 1 — the product path for aggregate multi-chip throughput).
+
+    Incoming blocks are coalesced into fixed steps of
+    `shard_block * n_devices` samples; each step runs the compact
+    overlap-save sharded decoder (airjax.parallel.halo — ppermute halo
+    between shards, psum hit gather), and a 239-sample carry preserves
+    scan continuity BETWEEN steps, so every global offset of the stream
+    is scanned exactly once: frames straddling source-block boundaries,
+    step boundaries, and shard boundaries all decode. The emitted hit
+    stream is bit-identical to single-device run_stream(overlap=True)
+    over the same samples (tests/test_runner_sharded.py).
+
+    The stream end pads the final partial step with the non-detecting
+    pattern and drops padded-region offsets — the same exactness
+    contract as decode_capture_sharded's padding.
+
+    Sinks: per-packet (AdsbPacket / extended typed packets) or the
+    batched trackers (on_fields / on_extended_block), same as
+    run_stream. Reference analogue of the whole loop: the live pipeline
+    src/adsb.rs:126-167 — which is strictly single-threaded per stage.
+    """
+    import collections
+
+    import jax.numpy as jnp
+
+    from airjax.parallel.halo import (
+        HALO as _HALO,
+        build_sharded_decoder_compact,
+        build_sharded_decoder_extended_compact,
+        tuned_block,
+        unpack_extended_compact,
+    )
+    from airjax.parallel.mesh import make_mesh
+    from airjax.pipeline import pad_iq_non_detecting
+
+    if mesh is None:
+        mesh = make_mesh(n_devices)
+    n_dev = mesh.devices.size
+    axis = mesh.axis_names[0]
+    stats = stats or StreamStats()
+
+    batch_fn = getattr(on_packet, "on_fields", None) if not extended else None
+    ext_batch_fn = (
+        getattr(on_packet, "on_extended_block", None) if extended else None
+    )
+    if extended:
+        from airjax.extended import assemble_extended
+        from airjax.track.icao_cache import IcaoCache
+
+        icao_cache = IcaoCache()
+
+    block = shard_block or tuned_block(max(16384, cfg.block_len))
+    T = block * n_dev  # samples per sharded step
+    F = T - _HALO  # fresh samples consumed per step
+    K = capacity_per_shard or cfg.max_candidates
+    C = compact_capacity or max(128 if not extended else 512, K)
+    with_fields = batch_fn is not None or ext_batch_fn is not None
+    builder = (
+        build_sharded_decoder_extended_compact
+        if extended
+        else build_sharded_decoder_compact
+    )
+    steps: dict[tuple[int, int], Callable] = {}
+
+    def get_step(k: int, c: int):
+        if (k, c) not in steps:
+            steps[(k, c)] = builder(
+                mesh, T, k, c, axis, with_fields=with_fields
+            )
+        return steps[(k, c)]
+
+    count_key = "n_candidates" if extended else "n_good"
+    row_keys = (
+        (
+            "offsets", "classmask", "df", "icao_ap_short", "icao_ap_long",
+            "frames", "frames_raw",
+        )
+        if extended
+        else ("offsets", "recovered", "frames")
+    )
+
+    # Initial carry: the non-detecting (1,0)-magnitude pattern (see
+    # run_stream); its offsets are masked by global_base < 0.
+    carry = np.zeros((_HALO, 2), dtype=np.int16)
+    carry[::2, 0] = 1
+    global_base = -_HALO
+    acc = np.zeros((0, 2), dtype=np.int16)
+    inflight: "collections.deque" = collections.deque()
+
+    def _fetch_rows(out_dev, n: int) -> dict:
+        rows = {k: out_dev[k][:n] for k in row_keys}
+        if with_fields:
+            rows["fields"] = {
+                k: v[:n] for k, v in out_dev["fields"].items()
+            }
+            if extended:
+                rows["short_fields"] = {
+                    k: v[:n] for k, v in out_dev["short_fields"].items()
+                }
+        return jax.device_get(rows)
+
+    def _process(entry) -> None:
+        nonlocal K, C
+        ext_in, base, now, n_fresh, max_local, out_dev = entry
+        with stats.stages.stage("fetch"):
+            scal = jax.device_get(
+                {
+                    k: out_dev[k]
+                    for k in (count_key, "n_detections", "overflow")
+                }
+            )
+            overflowed = bool(scal["overflow"])
+            while bool(scal["overflow"]) and (K < block or C < T):
+                K = min(K * 4, block)
+                C = min(C * 4, T)
+                out_dev = get_step(K, C)(jnp.asarray(ext_in))
+                scal = jax.device_get(
+                    {
+                        k: out_dev[k]
+                        for k in (count_key, "n_detections", "overflow")
+                    }
+                )
+            n = int(scal[count_key])
+            rows = _fetch_rows(out_dev, n)
+        t_apply = time.perf_counter()
+        offs = np.asarray(rows["offsets"])
+        # Stream-validity: skip the padded head of the very first step
+        # (base < 0) and, on the padded tail step, offsets whose window
+        # ran past the true stream end.
+        ok = offs + base >= 0
+        if max_local is not None:
+            ok &= offs <= max_local
+        emitted = 0
+        if extended:
+            unp = unpack_extended_compact(rows, n)
+            if max_local is not None:
+                # Pad-region candidates on the final step must not even
+                # seed the acceptance cache: single-device run_stream
+                # never scans those offsets, and exact hit-stream
+                # equality includes cache-gating visibility.
+                for k_ in (
+                    "good_long", "recovered", "good_df11", "cand_df11_ic",
+                    "cand_short_ap", "cand_long_ap",
+                ):
+                    unp[k_] = unp[k_] & (offs <= max_local)
+        if extended and ext_batch_fn is not None:
+            unp["fields"] = rows["fields"]
+            unp["short_fields"] = rows["short_fields"]
+            emitted = ext_batch_fn(
+                unp, now, icao_cache,
+                min_offset=(-base if base < 0 else None),
+            )
+        elif extended:
+            for local, pkt in assemble_extended(unp, now, icao_cache):
+                if base + local < 0:
+                    continue
+                on_packet(pkt)
+                emitted += 1
+        elif batch_fn is not None:
+            emitted = batch_fn(rows["fields"], np.nonzero(ok)[0], now)
+        else:
+            for k_ in np.nonzero(ok)[0]:
+                on_packet(
+                    AdsbPacket.from_bytes(
+                        np.asarray(rows["frames"][k_]).tobytes(), now
+                    )
+                )
+                emitted += 1
+        stats.stages.add("apply", time.perf_counter() - t_apply)
+        stats.blocks += 1 if n_fresh else 0
+        stats.samples += n_fresh
+        stats.detections += int(scal["n_detections"])
+        stats.good += emitted
+        if not extended:
+            recov = np.asarray(rows["recovered"])
+            stats.recovered += int(np.sum(recov[ok]))
+        stats.overflow_blocks += overflowed
+
+    def _dispatch(fresh: np.ndarray, max_local: int | None) -> None:
+        nonlocal carry, global_base
+        full = np.concatenate([carry, fresh], axis=0)
+        if full.shape[0] < T:
+            full = pad_iq_non_detecting(full, T)
+        with stats.stages.stage("dispatch"):
+            out_dev = get_step(K, C)(jnp.asarray(full))
+        inflight.append(
+            (full, global_base, time.time(), fresh.shape[0], max_local, out_dev)
+        )
+        carry = full[F:].copy()
+        global_base += F
+        while len(inflight) > max(pipeline_depth, 0):
+            _process(inflight.popleft())
+
+    for blk in Prefetcher(source, depth=4):
+        blk = np.asarray(blk, dtype=np.int16)
+        acc = np.concatenate([acc, blk], axis=0) if len(acc) else blk
+        while acc.shape[0] >= F:
+            fresh, acc = acc[:F], acc[F:]
+            _dispatch(fresh, None)
+    if acc.shape[0] > 0:
+        # Final partial step: pad to T; only offsets whose full window
+        # fits inside carry+acc are real.
+        true_len = _HALO + acc.shape[0]
+        if true_len >= WINDOW:
+            _dispatch(acc, true_len - WINDOW)
+    while inflight:
+        _process(inflight.popleft())
+    return stats
