@@ -188,12 +188,30 @@ def extended_boundary_stream(
         b += 1
 
 
+def _runner(devices: int | None):
+    """run_stream, or run_stream_sharded over `devices` mesh shards
+    (the `adsb --devices N` product path) with the same sink contract."""
+    if devices is None:
+        return run_stream
+
+    def sharded(source, sink, overlap=True, extended=False, stats=None):
+        from airjax.runner import run_stream_sharded
+
+        assert overlap, "sharded runner is always overlap-save"
+        return run_stream_sharded(
+            source, sink, n_devices=devices, extended=extended, stats=stats
+        )
+
+    return sharded
+
+
 def extended_soak(
     seconds: float,
     block: int,
     memcheck: bool = False,
     rotate: int = 0,
     evict: float | None = None,
+    devices: int | None = None,
 ) -> int:
     """Soak the extended-mode BATCHED host path (ExtendedBatchTracker ->
     on_extended_block): continuous stream, zero boundary loss, tracker
@@ -213,9 +231,15 @@ def extended_soak(
                 return
             yield blk
 
-    stats = run_stream(timed_stream(), bt, overlap=True, extended=True)
+    stats = _runner(devices)(timed_stream(), bt, overlap=True, extended=True)
     d = stats.as_dict()
-    expected = 3 * d["blocks"] - 1  # final straddler never completes
+    if devices is None:
+        expected = 3 * d["blocks"] - 1  # final straddler never completes
+    else:
+        # The sharded runner counts STEPS, not source blocks; count
+        # expected frames from delivered samples instead (3 per source
+        # block, final straddler never completes).
+        expected = 3 * (d["samples"] // block) - 1
     if rotate:
         # Rotating fleet: every decode still lands; with eviction the
         # table must stay bounded by the ICAOs alive inside the eviction
@@ -276,6 +300,12 @@ def main(argv=None) -> int:
         help="extended soak: tracker eviction window in seconds",
     )
     p.add_argument(
+        "--devices", type=int, default=None, metavar="N",
+        help="soak the SHARDED streaming runner over N mesh shards "
+        "(the adsb --devices N product path); on CPU combine with "
+        "XLA_FLAGS=--xla_force_host_platform_device_count=N",
+    )
+    p.add_argument(
         "--cpu", action="store_true",
         help="force the CPU backend (long host-side soaks; the remote "
         "TPU tunnel adds ~25 ms RPC per block and is not what a memory "
@@ -293,7 +323,7 @@ def main(argv=None) -> int:
     if args.extended:
         return extended_soak(
             args.seconds, args.block, memcheck=args.memcheck,
-            rotate=args.rotate, evict=args.evict,
+            rotate=args.rotate, evict=args.evict, devices=args.devices,
         )
 
     mem = MemWatch() if args.memcheck else None
@@ -312,9 +342,14 @@ def main(argv=None) -> int:
                 return
             yield blk
 
-    stats = run_stream(timed_stream(), on_packet, overlap=True)
+    stats = _runner(args.devices)(timed_stream(), on_packet, overlap=True)
     d = stats.as_dict()
-    expected = 2 * d["blocks"] - 1  # final straddler never completes
+    if args.devices is None:
+        expected = 2 * d["blocks"] - 1  # final straddler never completes
+    else:
+        # Sharded runner: stats.blocks counts steps; derive the source-
+        # block count from delivered samples.
+        expected = 2 * (d["samples"] // args.block) - 1
     d.update(
         seconds=round(time.time() - t0, 1),
         frames_decoded=len(frames_seen),
