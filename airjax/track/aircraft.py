@@ -60,6 +60,9 @@ class AircraftSummary:
     bds_candidates: Optional[list] = None
     # BDS 4,4 meteorological report (sole-candidate inferences only).
     met: Optional[dict] = None
+    # Comm-D ELM content (DF24 reassembly + register inference;
+    # airjax.extended.interpret_elm): {hex, segments, bds[, decoded]}.
+    commd_elm: Optional[dict] = None
 
     def to_json(self, extended: bool = False) -> dict:
         out = {
@@ -84,6 +87,7 @@ class AircraftSummary:
             out["acasRa"] = self.acas_ra
             out["bdsCandidates"] = self.bds_candidates
             out["met"] = self.met
+            out["commdElm"] = self.commd_elm
         return out
 
 
@@ -111,6 +115,9 @@ class Aircraft:
         self.gicb_supported: Optional[list] = None
         # Extension (DF24 Comm-D): ELM segment stash {str(nd): md_hex}.
         self.commd_segments: Optional[dict] = None
+        # Interpreted Comm-D ELM content (extension; updated on every
+        # gapless segment-prefix by airjax.extended.interpret_elm).
+        self.commd_elm: Optional[dict] = None
         # Extension (BDS 4,4, sole-candidate only): wind / temperature /
         # pressure / humidity dict as decoded by commb.decode_bds44.
         self.met: Optional[dict] = None
@@ -275,6 +282,7 @@ class Aircraft:
             ),
             bds_candidates=self.bds_candidates,
             met=self.met,
+            commd_elm=self.commd_elm,
         )
 
 

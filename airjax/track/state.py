@@ -43,6 +43,7 @@ _PLAIN_ATTRS = (
     "bds_candidates",
     "gicb_supported",
     "commd_segments",
+    "commd_elm",
     "met",
     "altitude",
     "last_contact",

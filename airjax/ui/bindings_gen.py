@@ -100,6 +100,17 @@ _EXTENDED_FIELDS = (
             "available."
         ),
     ),
+    Field(
+        "commdElm",
+        "{ hex: string; segments: number; bds: string[]; "
+        "decoded?: { [key: string]: number | string } } | null",
+        doc=(
+            "Comm-D ELM content (DF24 segment reassembly): full payload hex,\n"
+            "segment count, BDS register candidates inferred from the first 7\n"
+            "bytes (empty = non-register payload), and the decoded register\n"
+            "when the inference is unambiguous."
+        ),
+    ),
 )
 
 INTERFACES = (

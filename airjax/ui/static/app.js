@@ -221,6 +221,13 @@ function draw() {
       if (a.met && a.met.static_air_temp_c != null) {
         lines.push(`SAT      ${a.met.static_air_temp_c} °C`);
       }
+      if (a.commdElm) {
+        const tag = a.commdElm.bds.length
+          ? a.commdElm.bds.join("/")
+          : "raw";
+        lines.push(`ELM      ${a.commdElm.segments} seg ${tag} ${
+          a.commdElm.hex.slice(0, 16)}${a.commdElm.hex.length > 16 ? "…" : ""}`);
+      }
       const pw = 210 * devicePixelRatio;
       const [asc, desc] = getTextMetrics(lines[0]);
       const pad = 4 * devicePixelRatio;

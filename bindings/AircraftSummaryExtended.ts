@@ -30,4 +30,11 @@ export interface AircraftSummaryExtended {
    * available.
    */
   met: { [key: string]: number } | null;
+  /**
+   * Comm-D ELM content (DF24 segment reassembly): full payload hex,
+   * segment count, BDS register candidates inferred from the first 7
+   * bytes (empty = non-register payload), and the decoded register
+   * when the inference is unambiguous.
+   */
+  commdElm: { hex: string; segments: number; bds: string[]; decoded?: { [key: string]: number | string } } | null;
 }

@@ -161,3 +161,77 @@ def test_assemble_elm():
         )
     got = assemble_elm(aircrafts[ICAO].commd_segments)
     assert got == bytes(10) + b"\x01" * 10 + b"\x02" * 10
+
+
+def test_interpret_elm_register_shaped():
+    """A register-shaped ELM payload (BDS 2,0 extraction delivered via
+    Comm-D) is inferred and decoded; raw hex always surfaces (VERDICT r4
+    item 4)."""
+    from airjax.extended import interpret_elm
+
+    from tests.test_commb import make_bds20
+
+    payload = make_bds20("ELMTEST") + bytes(3)  # one 10-byte segment
+    out = interpret_elm(payload)
+    assert out["hex"] == payload.hex()
+    assert out["segments"] == 1
+    assert out["bds"] == ["2,0"]
+    assert out["decoded"] == {"value": "ELMTEST_"}
+
+    # Non-register payload: raw hex, empty candidates, no decoded key.
+    raw = interpret_elm(bytes(range(20)))
+    assert raw["segments"] == 2
+    assert raw["bds"] == [] and "decoded" not in raw
+    assert raw["hex"] == bytes(range(20)).hex()
+
+
+def test_tracker_interprets_completed_elm(tmp_path):
+    """Every gapless segment-prefix updates aircraft.commd_elm; it rides
+    the extended summary schema (commdElm) and checkpoints."""
+    from airjax.track.state import load_state, save_state
+
+    from tests.test_commb import make_bds20
+
+    seg0 = make_bds20("ELMAIR") + bytes(3)
+    aircrafts = {}
+    # Out-of-order arrival: nd=1 first (no gapless prefix -> no elm yet).
+    handle_extended_update(
+        CommDReply(icao=ICAO, ke=1, nd=1, md=b"\xaa" * 10, time_processed=5.0),
+        aircrafts,
+    )
+    assert aircrafts[ICAO].commd_elm is None
+    handle_extended_update(
+        CommDReply(icao=ICAO, ke=1, nd=0, md=seg0, time_processed=6.0),
+        aircrafts,
+    )
+    elm = aircrafts[ICAO].commd_elm
+    assert elm is not None
+    assert elm["segments"] == 2
+    assert elm["hex"] == (seg0 + b"\xaa" * 10).hex()
+    assert elm["bds"] == ["2,0"] and elm["decoded"] == {"value": "ELMAIR__"}
+
+    # Schema: the extended summary carries it under commdElm.
+    summary = aircrafts[ICAO].get_summary().to_json(extended=True)
+    assert summary["commdElm"] == elm
+
+    # Checkpoint roundtrip.
+    path = tmp_path / "elm.json"
+    save_state(aircrafts, path)
+    assert load_state(path)[ICAO].commd_elm == elm
+
+
+def test_batched_sink_interprets_elm_identically():
+    """The batched sink's fallback path produces the same commd_elm as
+    the per-packet path for a complete single-segment ELM."""
+    from airjax.track.batch import ExtendedBatchTracker
+
+    iq, _ = _capture(nd=0, ke=1)
+    out = _decode(iq)
+    per = {}
+    for _off, pkt in assemble_extended(out, 100.0, IcaoCache()):
+        handle_extended_update(pkt, per)
+    bt = ExtendedBatchTracker()
+    bt.on_extended_block(out, 100.0, IcaoCache())
+    assert per[ICAO].commd_elm == bt.aircrafts[ICAO].commd_elm
+    assert per[ICAO].commd_elm is not None
+    assert per[ICAO].commd_elm["hex"] == MD.hex()
