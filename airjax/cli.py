@@ -171,6 +171,16 @@ def _cmd_adsb_inner(args) -> int:
             )
             return 2
 
+    if args.recover2 and (
+        args.extended or args.batched or args.devices is not None
+    ):
+        print(
+            "error: --recover2 is a parity per-packet option "
+            "(incompatible with --extended/--batched/--devices)",
+            file=sys.stderr,
+        )
+        return 2
+
     def _run(source, sink, stats=None):
         """Dispatch to the single-device or the mesh-sharded stream
         runner (--devices N; VERDICT r4 item 1)."""
@@ -190,6 +200,7 @@ def _cmd_adsb_inner(args) -> int:
             stats=stats,
             plot_dir=args.plot_dir,
             dump_preamble=args.dump_preamble,
+            recover2=args.recover2,
         )
 
     ref_position = None
@@ -392,6 +403,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--trace", default=None, metavar="DIR",
         help="write a jax.profiler device/host trace of the run to DIR "
         "(view in TensorBoard / Perfetto; extension)",
+    )
+    adsb.add_argument(
+        "--recover2", action="store_true",
+        help="also accept frames repaired by a unique DOUBLE bit-flip, "
+        "gated on the ICAO having been seen in a clean/1-flip frame "
+        "this stream (yield improvement beyond the reference's 1-flip "
+        "recovery; parity per-packet mode only)",
     )
     adsb.add_argument(
         "--devices", type=int, default=None, metavar="N",

@@ -95,6 +95,47 @@ def decode_iq_block(
     return decode_mags_block(magnitude_u16(iq), n_off, capacity)
 
 
+def decode_mags_block_r2(
+    mags: jnp.ndarray, n_off: int, capacity: int
+) -> dict[str, jnp.ndarray]:
+    """decode_mags_block + 2-bit CRC recovery (opt-in yield improvement,
+    VERDICT r4 item 6; beyond the reference's 1-flip brute force,
+    src/adsb/crc.rs:49-65). Extra key `recovered2` marks frames that
+    validated only via a unique double-flip repair; `good` includes
+    them. Callers MUST gate recovered2 acceptance (see
+    airjax.protocol.crc.crc_check_and_recover2) — a ≥3-bit error can
+    alias to a 2-flip repair of a different codeword."""
+    from airjax.protocol.crc import crc_check_and_recover2
+
+    det = detect(mags, n_off)
+    offsets, n_det = compact_mask(det, capacity)
+    valid = offsets < n_off
+    words = pack_cmp_words(mags)
+    bits = slice_bits_packed(words, jnp.where(valid, offsets, 0))
+    bits, crc_ok, recovered, recovered2 = crc_check_and_recover2(bits)
+    good = crc_ok & valid
+    frames = bits_to_bytes(bits)
+    return {
+        "offsets": offsets,
+        "valid": valid,
+        "good": good,
+        "recovered": recovered & valid,
+        "recovered2": recovered2 & valid,
+        "frames": frames,
+        "n_detections": n_det,
+        "n_good": jnp.sum(good, dtype=jnp.int32),
+        "overflow": n_det > capacity,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("n_off", "capacity"))
+def decode_iq_block_r2(
+    iq: jnp.ndarray, n_off: int, capacity: int
+) -> dict[str, jnp.ndarray]:
+    """(L, 2) int16 IQ -> candidate dict incl. 2-bit repairs (jitted)."""
+    return decode_mags_block_r2(magnitude_u16(iq), n_off, capacity)
+
+
 @functools.partial(jax.jit, static_argnames=("n_off", "capacity", "interpret"))
 def decode_iq_block_kernel(
     iq: jnp.ndarray, n_off: int, capacity: int, interpret: bool = False

@@ -135,6 +135,60 @@ def crc_check_and_recover(
     return corrected, ok | found, found
 
 
+@functools.cache
+def _pair_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pairwise-flip syndrome table for 2-bit recovery (opt-in yield
+    improvement, VERDICT r4 item 6): syndromes of flipping data bits
+    (i, j), i < j < 88 — (3828,) uint32 plus the (i, j) index arrays.
+
+    Uniqueness: a collision S_i^S_j == S_k^S_l between distinct pairs
+    would imply a weight-4 codeword; the Mode S CRC-24 has minimum
+    distance 6 at 112 bits, so pair syndromes are pairwise distinct AND
+    disjoint from the single-bit table (weight-3 codewords would be
+    needed) — asserted at build time.
+    """
+    s = syndromes().astype(np.uint32)
+    i, j = np.triu_indices(DATA_BITS, k=1)
+    pair = s[i] ^ s[j]
+    assert len(np.unique(pair)) == len(pair), "pair syndrome collision"
+    assert not np.intersect1d(pair, s).size, "pair/single syndrome overlap"
+    assert not np.any(pair == 0)
+    return pair, i.astype(np.int32), j.astype(np.int32)
+
+
+def crc_check_and_recover2(
+    bits112: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched CRC filter with single- AND double-bit-flip recovery.
+
+    Beyond-parity extension (the reference recovers single flips only,
+    src/adsb/crc.rs:49-65). Returns (corrected (N,112), good (N,) —
+    direct | 1-flip | 2-flip, recovered (N,) 1-flip, recovered2 (N,)
+    2-flip). The 2-flip repair is syndrome-unique (see _pair_tables),
+    but a ≥3-bit error CAN sit within distance 2 of a *different*
+    codeword (minimum distance 6), so callers MUST gate acceptance of
+    `recovered2` frames on out-of-band evidence — the stream runner
+    requires the repaired ICAO to have been seen in a clean/1-flip
+    frame first (airjax.runner), mirroring the AP-address cache gate.
+    """
+    corrected, good, recovered = crc_check_and_recover(bits112)
+    calced = crc24_batch(bits112[..., :DATA_BITS])
+    packet_crc = pack_bits_msbfirst(bits112[..., DATA_BITS:], CRC_BITS)
+    delta = calced ^ packet_crc
+    pair, pi, pj = _pair_tables()
+    match = delta[..., None] == jnp.asarray(pair)  # (N, 3828)
+    found2 = jnp.any(match, axis=-1) & ~good
+    idx = jnp.argmax(match, axis=-1)
+    fi = jnp.asarray(pi)[idx]
+    fj = jnp.asarray(pj)[idx]
+    pos = jnp.arange(FRAME_BITS)
+    flip = (pos == fi[..., None]) | (pos == fj[..., None])
+    corrected = jnp.where(
+        found2[..., None], bits112 ^ flip.astype(bits112.dtype), corrected
+    )
+    return corrected, good | found2, recovered, found2
+
+
 def bytes_to_bits(frame_bytes: np.ndarray | bytes) -> np.ndarray:
     """(..., 14) uint8 -> (..., 112) {0,1} uint8, MSB first (host helper)."""
     arr = np.frombuffer(bytes(frame_bytes), dtype=np.uint8) if isinstance(

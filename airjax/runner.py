@@ -44,6 +44,7 @@ class StreamStats:
         self.detections = 0
         self.good = 0
         self.recovered = 0
+        self.recovered2 = 0  # opt-in 2-bit repairs accepted (--recover2)
         self.overflow_blocks = 0
         self.started = time.time()
         # Host-side per-stage wall-clock accounting (always on — a few
@@ -61,6 +62,7 @@ class StreamStats:
             "detections": self.detections,
             "good": self.good,
             "recovered": self.recovered,
+            "recovered2": self.recovered2,
             "overflow_blocks": self.overflow_blocks,
             "msamples_per_s": round(self.samples / dt / 1e6, 3),
             "stages": self.stages.as_dict(),
@@ -78,8 +80,18 @@ def run_stream(
     extended: bool = False,
     pipeline_depth: int = 1,
     dump_preamble: bool = False,
+    recover2: bool = False,
 ) -> StreamStats:
     """Consume a block source until exhausted; call on_packet per frame.
+
+    recover2=True (opt-in yield improvement; parity per-packet path
+    only) additionally accepts frames repaired by a unique DOUBLE
+    bit-flip (airjax.protocol.crc.crc_check_and_recover2) — gated on
+    the repaired ICAO having already been seen in a clean/1-flip frame
+    this stream, so a >=3-bit noise burst aliasing to a 2-flip repair
+    of a different codeword is never emitted (the same shape of gate
+    the extended pipeline's AP cache applies). Parity semantics are
+    untouched when off.
 
     With plot_dir set, an SVG magnitude plot of each decoded frame's
     window is dumped there (debug aid; see airjax.visualise).
@@ -152,12 +164,21 @@ def run_stream(
     global_base = -halo
     pending = np.zeros((0, 2), dtype=np.int16)
 
+    if recover2 and (extended or batch_fn is not None):
+        raise ValueError(
+            "recover2 is a parity per-packet option (no extended/batched)"
+        )
     if extended:
         decode_fn = _decode_eb if ext_batch_fn is not None else decode_iq_block_extended
+    elif recover2:
+        from airjax.pipeline import decode_iq_block_r2
+
+        decode_fn = decode_iq_block_r2
     elif batch_fn is not None:
         decode_fn = _decode_b
     else:
         decode_fn = decode_iq_block
+    seen_icaos: set[int] = set()  # recover2 acceptance gate
     inflight: "collections.deque" = collections.deque()
 
     def _process(entry) -> None:
@@ -210,9 +231,18 @@ def run_stream(
                 local = int(out["offsets"][k])
                 if overlap and base + local < 0:
                     continue  # zero-padded head of the very first block
-                on_packet(
-                    AdsbPacket.from_bytes(out["frames"][k].tobytes(), now)
-                )
+                fb = out["frames"][k].tobytes()
+                if recover2:
+                    icao = int.from_bytes(fb[1:4], "big")
+                    if bool(out["recovered2"][k]):
+                        # Gate: a 2-flip repair is only trusted for an
+                        # aircraft already validated without it.
+                        if icao not in seen_icaos:
+                            continue
+                        stats.recovered2 += 1
+                    else:
+                        seen_icaos.add(icao)
+                on_packet(AdsbPacket.from_bytes(fb, now))
                 emitted += 1
                 if plot_dir is not None or dump_preamble:
                     from airjax import golden, visualise

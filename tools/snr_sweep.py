@@ -30,6 +30,7 @@ def sweep(
     frames_per_capture: int = 8,
     capture_len: int = 24001,
     check_golden: bool = False,
+    recover2: bool = False,
     seed: int = 0,
 ) -> dict:
     cfg = PipelineConfig(block_len=capture_len - 1)
@@ -42,6 +43,8 @@ def sweep(
         decoded = 0
         total = 0
         golden_decoded = 0
+        r2_decoded = 0
+        r2_false_accepts = 0
         for c in range(captures_per_snr):
             iq = synth.modulate(
                 [frame] * len(offsets),
@@ -54,6 +57,10 @@ def sweep(
             got = {h[1] for h in hits if h[2] == frame}
             decoded += len(got & set(offsets))
             total += len(offsets)
+            if recover2:
+                r2_got, r2_bad = _decode_recover2(iq, frame)
+                r2_decoded += len(r2_got & set(offsets))
+                r2_false_accepts += r2_bad
             if check_golden:
                 ghits = golden.decode_capture_playback(iq, chunk=cfg.block_len)
                 ggot = {o for _, o, p in ghits if p == frame}
@@ -63,6 +70,13 @@ def sweep(
             "decode_rate": round(decoded / total, 4),
             "frames": total,
         }
+        if recover2:
+            point["decode_rate_recover2"] = round(r2_decoded / total, 4)
+            point["recover2_false_accepts"] = r2_false_accepts
+            # The gated 2-flip repair must be a pure-win curve: at least
+            # the standard rate, and never an emitted wrong frame.
+            assert point["decode_rate_recover2"] >= point["decode_rate"], point
+            assert r2_false_accepts == 0, point
         if check_golden:
             point["golden_decode_rate"] = round(golden_decoded / total, 4)
             assert point["golden_decode_rate"] == point["decode_rate"], (
@@ -70,6 +84,41 @@ def sweep(
             )
         curve.append(point)
     return {"curve": curve, "frames_per_capture": frames_per_capture}
+
+
+def _decode_recover2(iq, true_frame: bytes) -> tuple[set, int]:
+    """Whole-capture decode with gated 2-bit recovery (the stream
+    runner's acceptance rule: a recovered2 frame's ICAO must have been
+    seen in a clean/1-flip frame earlier in the stream). Returns
+    (accepted offsets of the true frame, count of accepted frames whose
+    bytes are NOT the transmitted frame = false accepts)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from airjax.pipeline import decode_iq_block_r2
+
+    n_off = len(iq) - 240
+    out = jax.device_get(decode_iq_block_r2(jnp.asarray(iq), n_off, 512))
+    seen: set[int] = set()
+    got: set[int] = set()
+    bad = 0
+    order = np.argsort(np.asarray(out["offsets"]), kind="stable")
+    for k in order:
+        if not out["good"][k]:
+            continue
+        fb = out["frames"][k].tobytes()
+        icao = int.from_bytes(fb[1:4], "big")
+        if bool(out["recovered2"][k]):
+            if icao not in seen:
+                continue
+        else:
+            seen.add(icao)
+        if fb == true_frame:
+            got.add(int(out["offsets"][k]))
+        else:
+            bad += 1
+    return got, bad
 
 
 def sweep_extended(
@@ -184,6 +233,11 @@ def main(argv=None) -> int:
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--golden", action="store_true", help="cross-check scalar oracle")
     p.add_argument("--extended", action="store_true", help="per-DF-kind curves")
+    p.add_argument(
+        "--recover2", action="store_true",
+        help="A/B the gated 2-bit CRC recovery (decode_rate_recover2 "
+        "column; asserts >= standard rate and zero false accepts)",
+    )
     p.add_argument("--json", default=None)
     args = p.parse_args(argv)
     if args.extended:
@@ -201,6 +255,7 @@ def main(argv=None) -> int:
             captures_per_snr=args.captures,
             frames_per_capture=args.frames,
             check_golden=args.golden,
+            recover2=args.recover2,
         )
     text = json.dumps(result, indent=2)
     print(text)
