@@ -235,3 +235,31 @@ def test_batched_sink_interprets_elm_identically():
     assert per[ICAO].commd_elm == bt.aircrafts[ICAO].commd_elm
     assert per[ICAO].commd_elm is not None
     assert per[ICAO].commd_elm["hex"] == MD.hex()
+
+
+def test_full_chain_multisegment_elm_interpretation():
+    """Device pipeline -> assemble_extended -> tracker: a 2-segment ELM
+    whose register-shaped payload spans the reassembly boundary is
+    interpreted from the CONCATENATED payload (oracle: interpret_elm of
+    the known ground-truth payload)."""
+    from airjax.extended import interpret_elm
+
+    from tests.test_commb import make_bds20
+
+    seg0 = make_bds20("CHAINELM") + bytes(3)
+    seg1 = bytes(range(50, 60))
+    frames = [
+        synth.make_df17(ICAO, synth.make_id_me("COMMD")),  # seeds cache
+        shortframe.make_df24(ICAO, nd=0, md=seg0, ke=0),
+        shortframe.make_df24(ICAO, nd=1, md=seg1, ke=1),
+    ]
+    iq = synth.modulate(frames, [500, 2500, 4500], N, seed=23)
+    out = _decode(iq)
+    aircrafts = {}
+    for _off, pkt in assemble_extended(out, 100.0, IcaoCache()):
+        handle_extended_update(pkt, aircrafts)
+    elm = aircrafts[ICAO].commd_elm
+    want = interpret_elm(seg0 + seg1)
+    assert elm == want
+    assert elm["segments"] == 2
+    assert elm["bds"] == ["2,0"] and elm["decoded"] == {"value": "CHAINELM"}
