@@ -434,6 +434,17 @@ def run_stream_sharded(
         else ("offsets", "recovered", "frames")
     )
 
+    # Warm the step compile BEFORE consuming the source: on a remote
+    # TPU the first compile can take minutes, and in extended mode
+    # frames that arrive during the stall would age past the 60 s ICAO
+    # acceptance window before their step is processed (the round-5
+    # extended chip smoke lost its tail-step DF24 exactly this way —
+    # perf/tpu_stream_smoke_r05.log). The warm input is the
+    # non-detecting pattern, and the jitted step is reused afterwards.
+    warm = np.zeros((T, 2), dtype=np.int16)
+    warm[::2, 0] = 1
+    int(jax.device_get(get_step(K, C)(jnp.asarray(warm))[count_key]))
+
     # Initial carry: the non-detecting (1,0)-magnitude pattern (see
     # run_stream); its offsets are masked by global_base < 0.
     carry = np.zeros((_HALO, 2), dtype=np.int16)
