@@ -198,8 +198,12 @@ def _cmd_adsb_inner(args) -> int:
             overlap=overlap,
             extended=args.extended,
             stats=stats,
-            plot_dir=args.plot_dir,
-            dump_preamble=args.dump_preamble,
+            # Stream-mode-only debug aids: in interactive mode the TUI
+            # owns the terminal (a decode-thread print would garble
+            # curses), and neither flag ever applied to web/interactive
+            # before the _run refactor.
+            plot_dir=args.plot_dir if args.mode == "stream" else None,
+            dump_preamble=args.dump_preamble and args.mode == "stream",
             recover2=args.recover2,
         )
 

@@ -67,15 +67,31 @@ def decode_mags_block(
       n_off: number of window offsets to scan (static).
       capacity: fixed candidate capacity (static).
     """
+    return _decode_mags_common(mags, n_off, capacity, recover2=False)
+
+
+def _decode_mags_common(
+    mags: jnp.ndarray, n_off: int, capacity: int, recover2: bool
+) -> dict[str, jnp.ndarray]:
+    """One shared detect/compact/slice/CRC body for the parity pipeline
+    and its opt-in 2-bit-recovery variant — only the recovery call
+    differs, so perf/semantics changes to the hot path cannot drift
+    between the two."""
     det = detect(mags, n_off)
     offsets, n_det = compact_mask(det, capacity)
     valid = offsets < n_off
     words = pack_cmp_words(mags)
     bits = slice_bits_packed(words, jnp.where(valid, offsets, 0))
-    bits, crc_ok, recovered = crc_check_and_recover(bits)
+    recovered2 = None
+    if recover2:
+        from airjax.protocol.crc import crc_check_and_recover2
+
+        bits, crc_ok, recovered, recovered2 = crc_check_and_recover2(bits)
+    else:
+        bits, crc_ok, recovered = crc_check_and_recover(bits)
     good = crc_ok & valid
     frames = bits_to_bytes(bits)
-    return {
+    out = {
         "offsets": offsets,
         "valid": valid,
         "good": good,
@@ -85,6 +101,9 @@ def decode_mags_block(
         "n_good": jnp.sum(good, dtype=jnp.int32),
         "overflow": n_det > capacity,
     }
+    if recovered2 is not None:
+        out["recovered2"] = recovered2 & valid
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("n_off", "capacity"))
@@ -105,27 +124,7 @@ def decode_mags_block_r2(
     them. Callers MUST gate recovered2 acceptance (see
     airjax.protocol.crc.crc_check_and_recover2) — a ≥3-bit error can
     alias to a 2-flip repair of a different codeword."""
-    from airjax.protocol.crc import crc_check_and_recover2
-
-    det = detect(mags, n_off)
-    offsets, n_det = compact_mask(det, capacity)
-    valid = offsets < n_off
-    words = pack_cmp_words(mags)
-    bits = slice_bits_packed(words, jnp.where(valid, offsets, 0))
-    bits, crc_ok, recovered, recovered2 = crc_check_and_recover2(bits)
-    good = crc_ok & valid
-    frames = bits_to_bytes(bits)
-    return {
-        "offsets": offsets,
-        "valid": valid,
-        "good": good,
-        "recovered": recovered & valid,
-        "recovered2": recovered2 & valid,
-        "frames": frames,
-        "n_detections": n_det,
-        "n_good": jnp.sum(good, dtype=jnp.int32),
-        "overflow": n_det > capacity,
-    }
+    return _decode_mags_common(mags, n_off, capacity, recover2=True)
 
 
 @functools.partial(jax.jit, static_argnames=("n_off", "capacity"))

@@ -369,6 +369,15 @@ def run_stream_sharded(
     pattern and drops padded-region offsets — the same exactness
     contract as decode_capture_sharded's padding.
 
+    Stats caveat: `detections` counts the RAW per-shard preamble hits,
+    and each step's last 239 offsets are re-scanned by the next step
+    (within a step they carry ring-wrapped halo context and are masked
+    from hits; the next step scans them with real context) — so a
+    detection whose gate sits in that boundary region is counted twice.
+    `good` and the emitted packet stream are exact (equality-tested
+    against single-device run_stream); treat `detections` as >= the
+    single-device count.
+
     Sinks: per-packet (AdsbPacket / extended typed packets) or the
     batched trackers (on_fields / on_extended_block), same as
     run_stream. Reference analogue of the whole loop: the live pipeline
@@ -498,17 +507,19 @@ def run_stream_sharded(
             ok &= offs <= max_local
         emitted = 0
         if extended:
+            from airjax.parallel.halo import _EXT_MASK_KEYS
+
             unp = unpack_extended_compact(rows, n)
             if max_local is not None:
                 # Pad-region candidates on the final step must not even
                 # seed the acceptance cache: single-device run_stream
                 # never scans those offsets, and exact hit-stream
-                # equality includes cache-gating visibility.
-                for k_ in (
-                    "good_long", "recovered", "good_df11", "cand_df11_ic",
-                    "cand_short_ap", "cand_long_ap",
-                ):
+                # equality includes cache-gating visibility. Iterate
+                # the canonical class list so a future candidate class
+                # cannot silently miss this mask.
+                for k_ in _EXT_MASK_KEYS:
                     unp[k_] = unp[k_] & (offs <= max_local)
+            stats.recovered += int(np.sum(unp["recovered"]))
         if extended and ext_batch_fn is not None:
             unp["fields"] = rows["fields"]
             unp["short_fields"] = rows["short_fields"]
@@ -540,6 +551,8 @@ def run_stream_sharded(
         if not extended:
             recov = np.asarray(rows["recovered"])
             stats.recovered += int(np.sum(recov[ok]))
+        # (extended: recovered counted above from the unpacked classes,
+        # mirroring single-device run_stream's block-level sum.)
         stats.overflow_blocks += overflowed
 
     def _dispatch(fresh: np.ndarray, max_local: int | None) -> None:

@@ -3,10 +3,12 @@
 Launched (twice) by tests/test_multihost.py::test_two_process_loopback with
 argv = [rank, coordinator_address]. Each rank synthesizes the SAME global
 capture deterministically, ingests only its own half via
-multihost.decode_capture (which goes through
-jax.make_array_from_process_local_data and the process_allgather branch),
-and prints the full gathered hit stream — the parent asserts both ranks
-printed identical, complete results.
+multihost.decode_capture — in BOTH gather modes, so the compact
+(replicated psum) path AND the dense path's
+jax.make_array_from_process_local_data + process_allgather branch each
+execute under a real 2-process runtime — and prints the full gathered
+hit stream; the parent asserts both ranks printed identical, complete
+results and that the two gathers agreed.
 """
 
 import json
@@ -38,7 +40,13 @@ def main() -> None:
     half = n // 2
     local = iq[rank * half : (rank + 1) * half]
 
-    hits, stats = multihost.decode_capture(local)
+    hits, stats = multihost.decode_capture(local)  # compact (default)
+    # Dense A/B under the same 2-process runtime: keeps the retained
+    # process_allgather branch covered by a TRUE multi-process test.
+    dense_hits, _dense_stats = multihost.decode_capture(
+        local, gather="dense"
+    )
+    assert dense_hits == hits, (len(dense_hits), len(hits))
 
     # Extended path in the same 2-process session: a DF17, a DF11
     # all-call STRADDLING the process boundary, and a cache-gated DF4.

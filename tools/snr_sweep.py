@@ -99,7 +99,15 @@ def _decode_recover2(iq, true_frame: bytes) -> tuple[set, int]:
     from airjax.pipeline import decode_iq_block_r2
 
     n_off = len(iq) - 240
-    out = jax.device_get(decode_iq_block_r2(jnp.asarray(iq), n_off, 512))
+    capacity = 512
+    out = jax.device_get(decode_iq_block_r2(jnp.asarray(iq), n_off, capacity))
+    # Same regrow discipline as sweep_extended: a silent capacity
+    # truncation must not masquerade as a recovery-rate difference.
+    while bool(out["overflow"]) and capacity < n_off:
+        capacity = min(capacity * 4, n_off)
+        out = jax.device_get(
+            decode_iq_block_r2(jnp.asarray(iq), n_off, capacity)
+        )
     seen: set[int] = set()
     got: set[int] = set()
     bad = 0

@@ -32,7 +32,10 @@ def main(argv=None) -> int:
 
     print("platform:", jax.devices()[0].platform, flush=True)
     mesh = make_mesh(1)
-    block = 17168 * 8  # same step size a D=8 mesh would use per shard
+    # One shard carries the whole step; sized like a multi-shard step so
+    # the smoke exercises multi-step carry + a padded tail at realistic
+    # step granularity (the exact D=8 default would be 20240*8).
+    block = 17168 * 8
     F = block - HALO
 
     icao = 0x7C6B30
