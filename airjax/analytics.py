@@ -53,7 +53,9 @@ class Track:
 
 
 def analyze_capture(
-    iq: np.ndarray, cfg: PipelineConfig = DEFAULT_CONFIG
+    iq: np.ndarray,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    devices: int | None = None,
 ) -> tuple[dict[int, Track], dict]:
     """Decode a capture into per-aircraft tracks.
 
@@ -61,8 +63,18 @@ def analyze_capture(
     as the online tracker (opposite-parity frame within 10 s, newest
     frame decides the formulas) so a fix here matches what the live
     pipeline would have shown at that moment.
+
+    devices=N decodes through the halo-sharded mesh decoder instead of
+    the single-device overlap decomposition — identical hit stream
+    (both scan every offset exactly once), N-chip throughput.
     """
-    hits, stats = decode_capture_overlap(iq, cfg)
+    if devices is not None:
+        from airjax.parallel.halo import decode_capture_sharded
+        from airjax.parallel.mesh import make_mesh
+
+        hits, stats = decode_capture_sharded(iq, make_mesh(devices))
+    else:
+        hits, stats = decode_capture_overlap(iq, cfg)
     if not hits:
         return {}, {**stats, "n_aircraft": 0, "n_fixes": 0}
 
@@ -163,6 +175,7 @@ def analyze_capture_extended(
     iq: np.ndarray,
     ref_position: tuple[float, float] | None = None,
     capacity_per_shard: int = 2048,
+    devices: int | None = None,
 ) -> tuple[dict[int, "ExtendedTrack"], dict]:
     """Extended-mode replay analytics: every Mode S downlink format.
 
@@ -183,7 +196,7 @@ def analyze_capture_extended(
     from airjax.parallel.mesh import TIME_AXIS
     from airjax.protocol.packet import AdsbPacket, AircraftVelocityMsg
 
-    mesh = Mesh(np.asarray(_jax.devices()[:1]), (TIME_AXIS,))
+    mesh = Mesh(np.asarray(_jax.devices()[: devices or 1]), (TIME_AXIS,))
     packets, stats = decode_capture_sharded_extended(
         iq, mesh, capacity_per_shard=capacity_per_shard, now=0.0
     )

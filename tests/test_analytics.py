@@ -132,3 +132,28 @@ def test_extended_analytics_empty():
     ).astype(np.int16)
     tracks, stats = analyze_capture_extended(iq)
     assert tracks == {} and stats["n_aircraft"] == 0
+
+
+def test_devices_param_identical_tracks():
+    """analyze_capture / analyze_capture_extended over an 8-device mesh
+    produce the same tracks as the single-device decompositions."""
+    from airjax.analytics import analyze_capture_extended
+
+    iq = _capture()
+    t1, s1 = analyze_capture(iq)
+    t8, s8 = analyze_capture(iq, devices=8)
+    assert set(t1) == set(t8)
+    for icao in t1:
+        assert t1[icao].callsign == t8[icao].callsign
+        assert t1[icao].n_messages == t8[icao].n_messages
+        assert [
+            (f.latitude, f.longitude, f.altitude_ft) for f in t1[icao].fixes
+        ] == [(f.latitude, f.longitude, f.altitude_ft) for f in t8[icao].fixes]
+    assert s1["n_fixes"] == s8["n_fixes"]
+
+    e1, es1 = analyze_capture_extended(iq)
+    e8, es8 = analyze_capture_extended(iq, devices=8)
+    assert set(e1) == set(e8)
+    for icao in e1:
+        assert e1[icao].n_messages == e8[icao].n_messages
+    assert es1["n_good_long"] == es8["n_good_long"]

@@ -26,6 +26,11 @@ def main():
     )
     ap.add_argument("--ref-lat", type=float, default=None)
     ap.add_argument("--ref-lon", type=float, default=None)
+    ap.add_argument(
+        "--devices", type=int, default=None, metavar="N",
+        help="decode through the halo-sharded mesh decoder over the "
+        "first N devices (identical hit stream, N-chip throughput)",
+    )
     args = ap.parse_args()
 
     from airjax.analytics import analyze_capture, analyze_capture_extended
@@ -38,9 +43,11 @@ def main():
             if args.ref_lat is not None and args.ref_lon is not None
             else None
         )
-        tracks, stats = analyze_capture_extended(iq, ref_position=ref)
+        tracks, stats = analyze_capture_extended(
+            iq, ref_position=ref, devices=args.devices
+        )
     else:
-        tracks, stats = analyze_capture(iq)
+        tracks, stats = analyze_capture(iq, devices=args.devices)
 
     report = []
     for icao, t in sorted(tracks.items()):
