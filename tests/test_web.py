@@ -218,3 +218,54 @@ def test_batched_sink_web_extended():
         s.close()
     finally:
         d.shutdown()
+
+
+def test_batched_sink_web_sharded_runner():
+    """The web display's batched sink driven by the SHARDED stream
+    runner (`adsb -m web --batched --devices N` composition): tracker
+    state + WS broadcast work identically to the single-device runner."""
+    from airjax.io import synth
+    from airjax.parallel.mesh import make_mesh
+    from airjax.runner import run_stream_sharded
+
+    d = WebDisplay(port=0, quiet=True)
+    t = threading.Thread(target=d.serve_forever, daemon=True)
+    t.start()
+    for _ in range(100):
+        if d._httpd is not None:
+            break
+        time.sleep(0.05)
+    d.port = d._httpd.server_address[1]
+    try:
+        sink = d.batched_sink()
+        s = _ws_connect(d.port)
+        icao = 0x7C0DE5
+        frames = [
+            synth.make_df17(icao, synth.make_id_me("SHRDWEB")),
+            synth.make_df17(
+                icao,
+                synth.make_position_me(
+                    tc=11, altitude_ft=2600, cpr_lat=93000, cpr_lon=51372,
+                    odd=False,
+                ),
+            ),
+            synth.make_df17(
+                icao,
+                synth.make_position_me(
+                    tc=11, altitude_ft=2650, cpr_lat=74158, cpr_lon=50194,
+                    odd=True,
+                ),
+            ),
+        ]
+        iq = synth.modulate(frames, [500, 4500, 9000], 12000, seed=6)
+        stats = run_stream_sharded(iter([iq]), sink, mesh=make_mesh(8))
+        assert stats.good == 3
+        got = _ws_read_frames(s, min_frames=1)
+        mine = [g for g in got if g["icao"] == icao]
+        assert len(mine) == 1
+        assert mine[0]["callsign"] == "SHRDWEB_"
+        assert mine[0]["altitude"] == 2650
+        assert mine[0]["geoPosition"] is not None
+        s.close()
+    finally:
+        d.shutdown()
