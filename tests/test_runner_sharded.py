@@ -161,3 +161,17 @@ def test_cli_devices_rejects_single_device_debug_flags(capsys):
         main(["adsb", "--synthetic", "1", "--devices", "2", "--dump-preamble"])
         == 2
     )
+
+
+def test_pipeline_depth_invariance(mesh):
+    """Async dispatch depth must not change the emitted stream."""
+    blocks = _stream(400_000, extra_offsets=[STEP_F - 130])
+    outs = []
+    for depth in (0, 1, 3):
+        got = []
+        run_stream_sharded(
+            blocks(), got.append, mesh=mesh, pipeline_depth=depth
+        )
+        outs.append([p.packet.hex() for p in got])
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) > 40
