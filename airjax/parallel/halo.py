@@ -180,27 +180,12 @@ def decode_capture_sharded(
 
     if gather == "compact":
         C = compact_capacity or max(128, capacity_per_shard)
-        step = build_sharded_decoder_compact(
-            mesh, padded_len, capacity_per_shard, C, axis
+        out, scal, capacity_per_shard, C = _run_compact_with_regrow(
+            lambda k, c: build_sharded_decoder_compact(
+                mesh, padded_len, k, c, axis
+            ),
+            iq_dev, capacity_per_shard, C, block, n_dev, "n_good",
         )
-        out = step(iq_dev)
-        # Fetch the scalars first; regrow per-shard AND global compact
-        # capacity on overflow (either flag forces a rerun).
-        scal = jax.device_get(
-            {k: out[k] for k in ("n_good", "n_detections", "overflow")}
-        )
-        while bool(scal["overflow"]) and (
-            capacity_per_shard < block or C < n_dev * block
-        ):
-            capacity_per_shard = min(capacity_per_shard * 4, block)
-            C = min(C * 4, n_dev * block)
-            step = build_sharded_decoder_compact(
-                mesh, padded_len, capacity_per_shard, C, axis
-            )
-            out = step(iq_dev)
-            scal = jax.device_get(
-                {k: out[k] for k in ("n_good", "n_detections", "overflow")}
-            )
         n_good = int(scal["n_good"])
         # Hit-proportional fetch: n_good rows, not D*K.
         rows = jax.device_get(
@@ -305,6 +290,33 @@ def _scatter_to_global(
         buf, v, (base,) + (0,) * (values.ndim - 1)
     )
     return jax.lax.psum(buf, axis)[:compact_capacity]
+
+
+# Per-candidate payload columns of the extended compact output — the
+# one list the host wrappers (here), the multihost gather, and the
+# sharded stream runner all fetch; keep it single-sourced.
+EXT_COMPACT_ROW_KEYS = (
+    "offsets", "classmask", "df", "icao_ap_short", "icao_ap_long",
+    "frames", "frames_raw",
+)
+
+
+def _run_compact_with_regrow(
+    make_step, iq_dev, K: int, C: int, block: int, n_dev: int, count_key: str
+):
+    """Run a compact sharded step, regrowing the per-shard candidate
+    capacity AND the global compact capacity on overflow (either flag
+    forces a rerun; the shared loop of every compact host wrapper).
+    Returns (out, scal, K, C)."""
+    keys = (count_key, "n_detections", "overflow")
+    out = make_step(K, C)(iq_dev)
+    scal = jax.device_get({k: out[k] for k in keys})
+    while bool(scal["overflow"]) and (K < block or C < n_dev * block):
+        K = min(K * 4, block)
+        C = min(C * 4, n_dev * block)
+        out = make_step(K, C)(iq_dev)
+        scal = jax.device_get({k: out[k] for k in keys})
+    return out, scal, K, C
 
 
 def _global_base(count: jnp.ndarray, n_dev: int, axis: str):
@@ -664,34 +676,16 @@ def decode_capture_sharded_extended(
 
     if gather == "compact":
         C = compact_capacity or max(512, capacity_per_shard)
-        step = build_sharded_decoder_extended_compact(
-            mesh, padded_len, capacity_per_shard, C, axis
+        out, scal, capacity_per_shard, C = _run_compact_with_regrow(
+            lambda k, c: build_sharded_decoder_extended_compact(
+                mesh, padded_len, k, c, axis
+            ),
+            iq_dev, capacity_per_shard, C, block, n_dev, "n_candidates",
         )
-        out = step(iq_dev)
-        scal = jax.device_get(
-            {k: out[k] for k in ("n_candidates", "n_detections", "overflow")}
-        )
-        while bool(scal["overflow"]) and (
-            capacity_per_shard < block or C < n_dev * block
-        ):
-            capacity_per_shard = min(capacity_per_shard * 4, block)
-            C = min(C * 4, n_dev * block)
-            step = build_sharded_decoder_extended_compact(
-                mesh, padded_len, capacity_per_shard, C, axis
-            )
-            out = step(iq_dev)
-            scal = jax.device_get(
-                {k: out[k] for k in ("n_candidates", "n_detections", "overflow")}
-            )
         n_cand = int(scal["n_candidates"])
-        fetched = jax.device_get({
-            k: out[k][:n_cand]
-            for k in (
-                "offsets", "classmask", "df", "icao_ap_short",
-                "icao_ap_long", "frames", "frames_raw",
-            )
-        })
-        fetched["n_candidates"] = n_cand
+        fetched = jax.device_get(
+            {k: out[k][:n_cand] for k in EXT_COMPACT_ROW_KEYS}
+        )
         unpacked = unpack_extended_compact(fetched, n_cand)
         # Bound offsets by the true capture (windows past len(iq) were
         # never real — the device mask only knew the padded length).

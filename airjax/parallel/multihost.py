@@ -79,7 +79,10 @@ def decode_capture(
     """
     from jax.experimental import multihost_utils
 
-    from airjax.parallel.halo import build_sharded_decoder_compact
+    from airjax.parallel.halo import (
+        _run_compact_with_regrow,
+        build_sharded_decoder_compact,
+    )
 
     mesh = global_mesh(axis)
     n_dev = mesh.shape[axis]
@@ -95,22 +98,15 @@ def decode_capture(
 
     if gather == "compact":
         C = compact_capacity or max(128, capacity_per_shard)
-        step = build_sharded_decoder_compact(
-            mesh, n_global, capacity_per_shard, C, axis
-        )
-        out = step(iq_global)
         # Overflow covers per-shard candidate capacity AND the global
         # compact buffer; replicated, so every process regrows in step.
-        while bool(jax.device_get(out["overflow"])) and (
-            capacity_per_shard < block or C < n_dev * block
-        ):
-            capacity_per_shard = min(capacity_per_shard * 4, block)
-            C = min(C * 4, n_dev * block)
-            step = build_sharded_decoder_compact(
-                mesh, n_global, capacity_per_shard, C, axis
-            )
-            out = step(iq_global)
-        n_good = int(jax.device_get(out["n_good"]))
+        out, scal, capacity_per_shard, C = _run_compact_with_regrow(
+            lambda k, c: build_sharded_decoder_compact(
+                mesh, n_global, k, c, axis
+            ),
+            iq_global, capacity_per_shard, C, block, n_dev, "n_good",
+        )
+        n_good = int(scal["n_good"])
         rows = jax.device_get(
             {
                 "offsets": out["offsets"][:n_good],
@@ -131,9 +127,9 @@ def decode_capture(
                     )
                 )
         stats = {
-            "n_detections": int(jax.device_get(out["n_detections"])),
+            "n_detections": int(scal["n_detections"]),
             "n_good": n_good,
-            "overflow": bool(jax.device_get(out["overflow"])),
+            "overflow": bool(scal["overflow"]),
             "capacity_per_shard": capacity_per_shard,
             "compact_capacity": C,
             "fetched_bytes": n_good * (4 + 4 + 14),
@@ -207,6 +203,8 @@ def _gather_extended_arrays(
     from airjax.parallel.halo import (
         _EXT_DATA_KEYS,
         _EXT_MASK_KEYS,
+        EXT_COMPACT_ROW_KEYS,
+        _run_compact_with_regrow,
         build_sharded_decoder_extended,
         build_sharded_decoder_extended_compact,
         unpack_extended_compact,
@@ -225,33 +223,22 @@ def _gather_extended_arrays(
 
     if gather == "compact":
         C = compact_capacity or max(512, capacity_per_shard)
-        step = build_sharded_decoder_extended_compact(
-            mesh, n_global, capacity_per_shard, C, axis
+        out, scal, capacity_per_shard, C = _run_compact_with_regrow(
+            lambda k, c: build_sharded_decoder_extended_compact(
+                mesh, n_global, k, c, axis
+            ),
+            iq_global, capacity_per_shard, C, block, n_dev, "n_candidates",
         )
-        out = step(iq_global)
-        while bool(jax.device_get(out["overflow"])) and (
-            capacity_per_shard < block or C < n_dev * block
-        ):
-            capacity_per_shard = min(capacity_per_shard * 4, block)
-            C = min(C * 4, n_dev * block)
-            step = build_sharded_decoder_extended_compact(
-                mesh, n_global, capacity_per_shard, C, axis
-            )
-            out = step(iq_global)
-        n_cand = int(jax.device_get(out["n_candidates"]))
-        fetched = jax.device_get({
-            k: out[k][:n_cand]
-            for k in (
-                "offsets", "classmask", "df", "icao_ap_short",
-                "icao_ap_long", "frames", "frames_raw",
-            )
-        })
+        n_cand = int(scal["n_candidates"])
+        fetched = jax.device_get(
+            {k: out[k][:n_cand] for k in EXT_COMPACT_ROW_KEYS}
+        )
         gathered = unpack_extended_compact(fetched, n_cand)
         stats = {
-            "n_detections": int(jax.device_get(out["n_detections"])),
+            "n_detections": int(scal["n_detections"]),
             "n_good_long": int(np.sum(gathered["good_long"])),
             "n_good_df11": int(np.sum(gathered["good_df11"])),
-            "overflow": bool(jax.device_get(out["overflow"])),
+            "overflow": bool(scal["overflow"]),
             "capacity_per_shard": capacity_per_shard,
             "compact_capacity": C,
             "n_candidates": n_cand,

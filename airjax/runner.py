@@ -388,6 +388,8 @@ def run_stream_sharded(
     import jax.numpy as jnp
 
     from airjax.parallel.halo import (
+        _EXT_MASK_KEYS,
+        EXT_COMPACT_ROW_KEYS,
         HALO as _HALO,
         build_sharded_decoder_compact,
         build_sharded_decoder_extended_compact,
@@ -435,12 +437,7 @@ def run_stream_sharded(
 
     count_key = "n_candidates" if extended else "n_good"
     row_keys = (
-        (
-            "offsets", "classmask", "df", "icao_ap_short", "icao_ap_long",
-            "frames", "frames_raw",
-        )
-        if extended
-        else ("offsets", "recovered", "frames")
+        EXT_COMPACT_ROW_KEYS if extended else ("offsets", "recovered", "frames")
     )
 
     # Warm the step compile BEFORE consuming the source: on a remote
@@ -507,8 +504,6 @@ def run_stream_sharded(
             ok &= offs <= max_local
         emitted = 0
         if extended:
-            from airjax.parallel.halo import _EXT_MASK_KEYS
-
             unp = unpack_extended_compact(rows, n)
             if max_local is not None:
                 # Pad-region candidates on the final step must not even
