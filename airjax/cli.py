@@ -171,12 +171,10 @@ def _cmd_adsb_inner(args) -> int:
             )
             return 2
 
-    if args.recover2 and (
-        args.extended or args.batched or args.devices is not None
-    ):
+    if args.recover2 and (args.batched or args.devices is not None):
         print(
-            "error: --recover2 is a parity per-packet option "
-            "(incompatible with --extended/--batched/--devices)",
+            "error: --recover2 is a per-packet option "
+            "(incompatible with --batched/--devices)",
             file=sys.stderr,
         )
         return 2
@@ -411,9 +409,10 @@ def build_parser() -> argparse.ArgumentParser:
     adsb.add_argument(
         "--recover2", action="store_true",
         help="also accept frames repaired by a unique DOUBLE bit-flip, "
-        "gated on the ICAO having been seen in a clean/1-flip frame "
-        "this stream (yield improvement beyond the reference's 1-flip "
-        "recovery; parity per-packet mode only)",
+        "gated on an already-validated ICAO (the stream's seen-set in "
+        "parity mode, the acceptance cache in --extended mode) — yield "
+        "improvement beyond the reference's 1-flip recovery; per-packet "
+        "paths only",
     )
     adsb.add_argument(
         "--devices", type=int, default=None, metavar="N",

@@ -114,8 +114,19 @@ def assemble_extended(
 
     results: list[tuple[int, ExtendedPacket]] = []
 
+    # Frames validated only via the opt-in 2-bit repair (`recovered2`,
+    # decode_mags_block_extended(recover2=True)) are NOT independent
+    # evidence — a >=3-bit burst can alias to a repair of a different
+    # codeword — so they neither seed the cache nor emit unless their
+    # ICAO is already accepted (same gate as the AP candidates).
+    rec2 = (
+        np.asarray(out["recovered2"])
+        if "recovered2" in out
+        else np.zeros_like(good_long)
+    )
+
     # Pass 1: CRC-validated frames register ICAOs.
-    for k in np.nonzero(good_long | good_df11)[0]:
+    for k in np.nonzero((good_long & ~rec2) | good_df11)[0]:
         off = int(offsets[k])
         if good_long[k]:
             pkt = AdsbPacket.from_bytes(frames[k].tobytes(), now, extensions=True)
@@ -128,6 +139,14 @@ def assemble_extended(
             results.append(
                 (off, AllCallReply(icao=icao, capability=raw[0] & 0b111, time_processed=now))
             )
+
+    # Pass 1.5: 2-flip-repaired long frames, cache-gated (the cache
+    # already holds this block's pass-1 ICAOs — same visibility as the
+    # AP candidates below).
+    for k in np.nonzero(good_long & rec2)[0]:
+        pkt = AdsbPacket.from_bytes(frames[k].tobytes(), now, extensions=True)
+        if cache.contains(pkt.icao, now):
+            results.append((int(offsets[k]), pkt))
 
     results.extend(assemble_ap_candidates(out, now, cache))
     results.sort(key=lambda t: t[0])

@@ -95,13 +95,20 @@ def _check_preamble_only(buf: np.ndarray) -> bool:
     return True
 
 
-def decode_chunk_extended(iq_chunk: np.ndarray) -> list[tuple[int, str, bytes, int]]:
+def decode_chunk_extended(
+    iq_chunk: np.ndarray, recover2: bool = False
+) -> list[tuple[int, str, bytes, int]]:
     """Scalar classification of every preamble hit.
 
     Returns (offset, kind, frame_bytes, icao_ap) tuples where kind is one
     of 'long' (CRC-validated 112-bit, recovery applied), 'df11'
     (PI==CRC), 'short_ap' (DF4/5 candidate), 'long_ap' (DF16/20/21/24+
     candidate); icao_ap is the parity-recovered address (0 for 'long').
+
+    recover2=True additionally classifies long frames repaired by a
+    unique DOUBLE bit flip as kind 'long2' (pre-gate: the host assembly
+    accepts them only for cache-validated ICAOs) — the scalar oracle for
+    decode_mags_block_extended(recover2=True).
     """
     mags = magnitude(iq_chunk)
     hits: list[tuple[int, str, bytes, int]] = []
@@ -125,6 +132,12 @@ def decode_chunk_extended(iq_chunk: np.ndarray) -> list[tuple[int, str, bytes, i
                 fixed = try_crc_recovery_scalar(packet)
                 if fixed is not None:
                     hits.append((i, "long", fixed, 0))
+                elif recover2:
+                    from airjax.protocol.crc import try_crc_recovery2_scalar
+
+                    fixed2 = try_crc_recovery2_scalar(packet)
+                    if fixed2 is not None:
+                        hits.append((i, "long2", fixed2, 0))
         else:
             short = packet[:7]
             calced = crc24(short[:4])

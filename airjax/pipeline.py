@@ -170,9 +170,16 @@ def decode_iq_block_kernel(
 
 
 def decode_mags_block_extended(
-    mags: jnp.ndarray, n_off: int, capacity: int
+    mags: jnp.ndarray, n_off: int, capacity: int, recover2: bool = False
 ) -> dict[str, jnp.ndarray]:
     """Extended scan: every Mode S downlink format, not just DF17.
+
+    recover2=True (opt-in, `adsb --extended --recover2`) additionally
+    repairs long frames via the unique 2-bit pairwise-syndrome table;
+    such frames join `good_long` and are flagged in the extra
+    `recovered2` key — the host assembly MUST gate them on the ICAO
+    acceptance cache (airjax.extended.assemble_extended does) since a
+    >=3-bit error can alias to a repair of a different codeword.
 
     Preamble-only detection (no DF gate), then per-candidate
     classification (extension beyond the reference — see
@@ -197,7 +204,13 @@ def decode_mags_block_extended(
     df = pack_bits_msbfirst(bits[..., :5], 5).astype(jnp.int32)
 
     # Long-frame path (reference semantics incl. recovery).
-    long_bits, long_ok, long_rec = crc_check_and_recover(bits)
+    long_rec2 = None
+    if recover2:
+        from airjax.protocol.crc import crc_check_and_recover2
+
+        long_bits, long_ok, long_rec, long_rec2 = crc_check_and_recover2(bits)
+    else:
+        long_bits, long_ok, long_rec = crc_check_and_recover(bits)
     is_long = df >= 16
     # AP-addressed long frames (DF16 ACAS long air-air, DF20/21 Comm-B,
     # DF24 Comm-D ELM):
@@ -236,7 +249,7 @@ def decode_mags_block_extended(
 
     frames = bits_to_bytes(long_bits)
     frames_raw = bits_to_bytes(bits)
-    return {
+    out = {
         "offsets": offsets,
         "valid": valid,
         "df": df,
@@ -253,13 +266,20 @@ def decode_mags_block_extended(
         "n_detections": n_det,
         "overflow": n_det > capacity,
     }
+    if long_rec2 is not None:
+        out["recovered2"] = long_rec2 & good_long
+    return out
 
 
-@functools.partial(jax.jit, static_argnames=("n_off", "capacity"))
+@functools.partial(
+    jax.jit, static_argnames=("n_off", "capacity", "recover2")
+)
 def decode_iq_block_extended(
-    iq: jnp.ndarray, n_off: int, capacity: int
+    iq: jnp.ndarray, n_off: int, capacity: int, recover2: bool = False
 ) -> dict[str, jnp.ndarray]:
-    return decode_mags_block_extended(magnitude_u16(iq), n_off, capacity)
+    return decode_mags_block_extended(
+        magnitude_u16(iq), n_off, capacity, recover2=recover2
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n_off", "capacity"))

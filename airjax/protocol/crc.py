@@ -204,6 +204,26 @@ def bits_to_bytes(bits: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(shaped * weights, axis=-1, dtype=jnp.uint32).astype(jnp.uint8)
 
 
+def try_crc_recovery2_scalar(frame: bytes) -> bytes | None:
+    """Scalar 2-bit-flip repair (oracle for crc_check_and_recover2).
+
+    Uses the same pairwise syndrome table as the device path; returns
+    the repaired 14-byte frame, or None when the syndrome matches no
+    data-bit pair. Callers gate acceptance exactly like the device
+    consumers (a >=3-bit error can alias to a different codeword)."""
+    packet_crc = (frame[-3] << 16) | (frame[-2] << 8) | frame[-1]
+    delta = crc24(frame[:11]) ^ packet_crc
+    pair, pi, pj = _pair_tables()
+    hit = np.nonzero(pair == delta)[0]
+    if not hit.size:
+        return None
+    i, j = int(pi[hit[0]]), int(pj[hit[0]])
+    buf = bytearray(frame)
+    buf[i // 8] ^= 1 << (7 - i % 8)
+    buf[j // 8] ^= 1 << (7 - j % 8)
+    return bytes(buf)
+
+
 def try_crc_recovery_scalar(frame: bytes) -> bytes | None:
     """Scalar oracle mirroring src/adsb/crc.rs:49-65 (tests only)."""
     buf = bytearray(frame)

@@ -84,14 +84,14 @@ def run_stream(
 ) -> StreamStats:
     """Consume a block source until exhausted; call on_packet per frame.
 
-    recover2=True (opt-in yield improvement; parity per-packet path
-    only) additionally accepts frames repaired by a unique DOUBLE
-    bit-flip (airjax.protocol.crc.crc_check_and_recover2) — gated on
-    the repaired ICAO having already been seen in a clean/1-flip frame
-    this stream, so a >=3-bit noise burst aliasing to a 2-flip repair
-    of a different codeword is never emitted (the same shape of gate
-    the extended pipeline's AP cache applies). Parity semantics are
-    untouched when off.
+    recover2=True (opt-in yield improvement; per-packet paths only)
+    additionally accepts frames repaired by a unique DOUBLE bit-flip
+    (airjax.protocol.crc.crc_check_and_recover2), gated so a >=3-bit
+    noise burst aliasing to a 2-flip repair of a different codeword is
+    never emitted: in parity mode the repaired ICAO must already have
+    been seen in a clean/1-flip frame this stream; in extended mode the
+    frames ride the existing ICAO acceptance cache (and never seed it)
+    via assemble_extended. Parity semantics are untouched when off.
 
     With plot_dir set, an SVG magnitude plot of each decoded frame's
     window is dumped there (debug aid; see airjax.visualise).
@@ -164,11 +164,12 @@ def run_stream(
     global_base = -halo
     pending = np.zeros((0, 2), dtype=np.int16)
 
-    if recover2 and (extended or batch_fn is not None):
-        raise ValueError(
-            "recover2 is a parity per-packet option (no extended/batched)"
-        )
-    if extended:
+    if recover2 and (batch_fn is not None or ext_batch_fn is not None):
+        raise ValueError("recover2 is a per-packet option (no batched sinks)")
+    if extended and recover2:
+        def decode_fn(ext, n_off, capacity):
+            return decode_iq_block_extended(ext, n_off, capacity, recover2=True)
+    elif extended:
         decode_fn = _decode_eb if ext_batch_fn is not None else decode_iq_block_extended
     elif recover2:
         from airjax.pipeline import decode_iq_block_r2
@@ -206,9 +207,22 @@ def run_stream(
                 min_offset=(-base if overlap and base < 0 else None),
             )
         elif extended:
+            # Offsets whose frame validated only via the gated 2-flip
+            # repair (recover2 mode): for the accepted-repairs stat.
+            rec2_offs = (
+                set(
+                    np.asarray(out["offsets"])[
+                        np.asarray(out["recovered2"])
+                    ].tolist()
+                )
+                if "recovered2" in out
+                else ()
+            )
             for local, pkt in assemble_extended(out, now, icao_cache):
                 if overlap and base + local < 0:
                     continue
+                if local in rec2_offs:
+                    stats.recovered2 += 1
                 if dump_preamble:
                     from airjax import golden, visualise
 

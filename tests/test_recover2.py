@@ -111,21 +111,29 @@ def test_runner_gating():
     assert stats_off.recovered2 == 0
 
 
-def test_runner_rejects_bad_combos():
+def test_runner_rejects_batched_sinks():
     import pytest
 
+    from airjax.track.batch import BatchTracker, ExtendedBatchTracker
+
     with pytest.raises(ValueError):
-        run_stream(iter(()), lambda p: None, extended=True, recover2=True)
+        run_stream(iter(()), BatchTracker(), recover2=True)
+    with pytest.raises(ValueError):
+        run_stream(
+            iter(()), ExtendedBatchTracker(), extended=True, recover2=True
+        )
 
 
 def test_cli_flag_combos(capsys):
     from airjax.cli import main
 
-    assert main(["adsb", "--synthetic", "1", "--recover2", "--extended"]) == 2
+    assert main(["adsb", "--synthetic", "1", "--recover2", "--batched"]) == 2
     assert main(["adsb", "--synthetic", "1", "--recover2", "--devices", "2"]) == 2
     assert main(["adsb", "--synthetic", "2", "--recover2"]) == 0
     out = capsys.readouterr().out
     assert "'recovered2': 0" in out
+    # Extended mode now supports the gated repair (per-packet path).
+    assert main(["adsb", "--synthetic", "2", "--recover2", "--extended"]) == 0
 
 
 def test_noise_fuzz_zero_false_accepts():
