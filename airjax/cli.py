@@ -171,10 +171,10 @@ def _cmd_adsb_inner(args) -> int:
             )
             return 2
 
-    if args.recover2 and (args.batched or args.devices is not None):
+    if args.recover2 and args.batched:
         print(
-            "error: --recover2 is a per-packet option "
-            "(incompatible with --batched/--devices)",
+            "error: --recover2 is a per-packet option (incompatible "
+            "with --batched)",
             file=sys.stderr,
         )
         return 2
@@ -190,6 +190,7 @@ def _cmd_adsb_inner(args) -> int:
                 n_devices=args.devices,
                 extended=args.extended,
                 stats=stats,
+                recover2=args.recover2,
             )
         return run_stream(
             source, sink,
@@ -412,7 +413,8 @@ def build_parser() -> argparse.ArgumentParser:
         "gated on an already-validated ICAO (the stream's seen-set in "
         "parity mode, the acceptance cache in --extended mode) — yield "
         "improvement beyond the reference's 1-flip recovery; per-packet "
-        "paths only",
+        "paths only (composes with --extended and --devices, not "
+        "--batched)",
     )
     adsb.add_argument(
         "--devices", type=int, default=None, metavar="N",

@@ -339,6 +339,7 @@ def build_sharded_decoder_compact(
     compact_capacity: int,
     axis: str = TIME_AXIS,
     with_fields: bool = False,
+    recover2: bool = False,
 ):
     """Sharded DF17 decode with hit-proportional output.
 
@@ -369,13 +370,13 @@ def build_sharded_decoder_compact(
         mags = magnitude_u16(iq_local)
         halo = jax.lax.ppermute(mags[:halo_n], axis, perm)
         ext = jnp.concatenate([mags, halo])
-        res = decode_mags_block(ext, block, K)
+        res = decode_mags_block(ext, block, K, recover2=recover2)
         shard_base = jax.lax.axis_index(axis).astype(jnp.int32) * block
         global_offsets = res["offsets"] + shard_base
         mask = res["good"] & res["valid"] & (global_offsets <= max_offset)
         sel, valid_out, count = _compact_local(mask, K)
         base, total = _global_base(count, n_dev, axis)
-        return {
+        out = {
             "offsets": _scatter_to_global(
                 global_offsets[sel], valid_out, base, C, axis
             ),
@@ -390,19 +391,21 @@ def build_sharded_decoder_compact(
             "overflow": jax.lax.psum(res["overflow"].astype(jnp.int32), axis)
             > 0,
         }
+        if recover2:
+            out["recovered2"] = _scatter_to_global(
+                res["recovered2"][sel].astype(jnp.int32),
+                valid_out, base, C, axis,
+            ).astype(bool)
+        return out
 
+    out_keys = [
+        "offsets", "recovered", "frames", "n_good", "n_detections", "overflow",
+    ] + (["recovered2"] if recover2 else [])
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=PartitionSpec(axis, None),
-        out_specs={
-            "offsets": PartitionSpec(),
-            "recovered": PartitionSpec(),
-            "frames": PartitionSpec(),
-            "n_good": PartitionSpec(),
-            "n_detections": PartitionSpec(),
-            "overflow": PartitionSpec(),
-        },
+        out_specs={k: PartitionSpec() for k in out_keys},
     )
     in_sharding = NamedSharding(mesh, PartitionSpec(axis, None))
 
@@ -522,6 +525,7 @@ def build_sharded_decoder_extended_compact(
     compact_capacity: int,
     axis: str = TIME_AXIS,
     with_fields: bool = False,
+    recover2: bool = False,
 ):
     """Extended sharded decode with hit-proportional output.
 
@@ -550,7 +554,7 @@ def build_sharded_decoder_extended_compact(
         mags = magnitude_u16(iq_local)
         halo = jax.lax.ppermute(mags[:halo_n], axis, perm)
         ext = jnp.concatenate([mags, halo])
-        res = decode_mags_block_extended(ext, block, K)
+        res = decode_mags_block_extended(ext, block, K, recover2=recover2)
         shard_base = jax.lax.axis_index(axis).astype(jnp.int32) * block
         global_offsets = res["offsets"] + shard_base
         in_range = res["valid"] & (global_offsets <= max_offset)
@@ -566,7 +570,7 @@ def build_sharded_decoder_extended_compact(
         def scat(v):
             return _scatter_to_global(v, valid_out, base, C, axis)
 
-        return {
+        out = {
             "offsets": scat(global_offsets[sel]),
             "classmask": scat(classmask[sel]).astype(jnp.uint8),
             "df": scat(res["df"][sel].astype(jnp.int32)),
@@ -583,19 +587,21 @@ def build_sharded_decoder_extended_compact(
             "overflow": jax.lax.psum(res["overflow"].astype(jnp.int32), axis)
             > 0,
         }
+        if recover2:
+            out["recovered2"] = scat(
+                (res["recovered2"] & in_range)[sel].astype(jnp.int32)
+            ).astype(bool)
+        return out
 
+    out_keys = [
+        "offsets", "classmask", "df", "icao_ap_short", "icao_ap_long",
+        "frames", "frames_raw", "n_candidates", "n_detections", "overflow",
+    ] + (["recovered2"] if recover2 else [])
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=PartitionSpec(axis, None),
-        out_specs={
-            k: PartitionSpec()
-            for k in (
-                "offsets", "classmask", "df", "icao_ap_short", "icao_ap_long",
-                "frames", "frames_raw", "n_candidates", "n_detections",
-                "overflow",
-            )
-        },
+        out_specs={k: PartitionSpec() for k in out_keys},
     )
     in_sharding = NamedSharding(mesh, PartitionSpec(axis, None))
 
@@ -636,6 +642,8 @@ def unpack_extended_compact(out: dict, n: int | None = None) -> dict:
     }
     for i, k in enumerate(_EXT_MASK_KEYS):
         unpacked[k] = (cm >> i) & 1 > 0
+    if "recovered2" in out:  # opt-in 2-bit-repair column (recover2 mode)
+        unpacked["recovered2"] = np.asarray(out["recovered2"][:n])
     return unpacked
 
 

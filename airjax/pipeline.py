@@ -57,7 +57,7 @@ def compact_mask(det: jnp.ndarray, capacity: int) -> tuple[jnp.ndarray, jnp.ndar
 
 
 def decode_mags_block(
-    mags: jnp.ndarray, n_off: int, capacity: int
+    mags: jnp.ndarray, n_off: int, capacity: int, recover2: bool = False
 ) -> dict[str, jnp.ndarray]:
     """Scan one magnitude block: detection, slicing, CRC, recovery.
 
@@ -66,8 +66,10 @@ def decode_mags_block(
         lossless, see airjax.dsp.magnitude), L >= n_off + WINDOW - 1.
       n_off: number of window offsets to scan (static).
       capacity: fixed candidate capacity (static).
+      recover2: opt-in 2-bit repair (extra `recovered2` key; callers
+        must gate acceptance — see decode_mags_block_r2).
     """
-    return _decode_mags_common(mags, n_off, capacity, recover2=False)
+    return _decode_mags_common(mags, n_off, capacity, recover2=recover2)
 
 
 def _decode_mags_common(

@@ -127,13 +127,81 @@ def test_runner_rejects_batched_sinks():
 def test_cli_flag_combos(capsys):
     from airjax.cli import main
 
-    assert main(["adsb", "--synthetic", "1", "--recover2", "--batched"]) == 2
-    assert main(["adsb", "--synthetic", "1", "--recover2", "--devices", "2"]) == 2
+    # Batched sinks stay incompatible; stream mode never batches, so
+    # only web/interactive modes can trip it.
+    assert main(
+        ["adsb", "--synthetic", "1", "--recover2", "--batched", "-m", "web"]
+    ) == 2
     assert main(["adsb", "--synthetic", "2", "--recover2"]) == 0
     out = capsys.readouterr().out
     assert "'recovered2': 0" in out
-    # Extended mode now supports the gated repair (per-packet path).
+    # Composes with --extended and --devices (per-packet paths).
     assert main(["adsb", "--synthetic", "2", "--recover2", "--extended"]) == 0
+    assert main(
+        ["adsb", "--synthetic", "2", "--recover2", "--devices", "2"]
+    ) == 0
+
+
+def test_sharded_runner_recover2_equality():
+    """run_stream_sharded with recover2 emits the exact stream of
+    run_stream with recover2 (gate evolution included)."""
+    from airjax.parallel.mesh import make_mesh
+    from airjax.runner import run_stream_sharded
+
+    other = synth.make_df17(0x123456, synth.make_id_me("STRANGER"))
+    n_total = 200_000
+    iq = synth.modulate(
+        [
+            FRAME,
+            _flip_bits(FRAME, [12, 40]),  # accepted (ICAO seen clean)
+            _flip_bits(other, [12, 40]),  # rejected (never seen clean)
+            FRAME,
+        ],
+        [500, 3000, 6000, 150_000],
+        n_total,
+        seed=6,
+    )
+
+    def blocks():
+        for i in range(0, n_total, 20000):
+            yield iq[i : i + 20000]
+
+    got1, got2 = [], []
+    s1 = run_stream(blocks(), got1.append, overlap=True, recover2=True)
+    s2 = run_stream_sharded(
+        blocks(), got2.append, mesh=make_mesh(8), recover2=True
+    )
+    assert [p.packet.hex() for p in got1] == [p.packet.hex() for p in got2]
+    assert len(got1) == 3  # stranger suppressed in both
+    assert s1.recovered2 == s2.recovered2 == 1
+
+
+def test_sharded_runner_recover2_extended_equality():
+    from airjax.parallel.mesh import make_mesh
+    from airjax.runner import run_stream_sharded
+
+    n_total = 200_000
+    iq = synth.modulate(
+        [FRAME, _flip_bits(FRAME, [30, 31]), FRAME],
+        [500, 3000, 150_000],
+        n_total,
+        seed=7,
+    )
+
+    def blocks():
+        for i in range(0, n_total, 20000):
+            yield iq[i : i + 20000]
+
+    got1, got2 = [], []
+    s1 = run_stream(
+        blocks(), got1.append, overlap=True, extended=True, recover2=True
+    )
+    s2 = run_stream_sharded(
+        blocks(), got2.append, mesh=make_mesh(8), extended=True, recover2=True
+    )
+    assert [p.packet.hex() for p in got1] == [p.packet.hex() for p in got2]
+    assert len(got1) == 3
+    assert s1.recovered2 == s2.recovered2 == 1
 
 
 def test_noise_fuzz_zero_false_accepts():
