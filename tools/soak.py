@@ -109,7 +109,9 @@ def boundary_stream(block: int, stop_flag: dict, seed: int = 0):
         b += 1
 
 
-def sdr_soak(seconds: float, extended: bool = False) -> int:
+def sdr_soak(
+    seconds: float, extended: bool = False, devices: int | None = None
+) -> int:
     """Soak the LIVE path: SdrSource (usually the fake SoapySDR double)
     -> overlap-save decode. The fake cycles one 20k-sample MTU block, so
     each delivered block carries a known frame count and the expected
@@ -129,21 +131,26 @@ def sdr_soak(seconds: float, extended: bool = False) -> int:
                 return
             yield blk
 
+    runner = _runner(devices)
     if extended:
         from airjax.track.batch import ExtendedBatchTracker
 
         sink = ExtendedBatchTracker()
-        stats = run_stream(timed_blocks(), sink, extended=True)
+        stats = runner(timed_blocks(), sink, extended=True)
         n_decoded = sink.n_messages
     else:
         frames_seen = []
         sink = lambda pkt: frames_seen.append(pkt.icao)  # noqa: E731
-        stats = run_stream(timed_blocks(), sink)
+        stats = runner(timed_blocks(), sink)
         n_decoded = len(frames_seen)
     src.close()
     d = stats.as_dict()
     frames_per_block = 3  # tests/test_sdr_fake.py capture layout
-    expected = d["blocks"] * frames_per_block
+    # Sharded runner counts steps in d["blocks"]; derive delivered MTU
+    # blocks from the sample count (the fake cycles 20k-sample blocks;
+    # frames sit in the interior, so boundaries never cut one).
+    n_blocks = d["blocks"] if devices is None else d["samples"] // 20000
+    expected = n_blocks * frames_per_block
     d.update(
         mode="sdr-extended-batched" if extended else "sdr",
         seconds=round(time.time() - t0, 1),
@@ -152,7 +159,12 @@ def sdr_soak(seconds: float, extended: bool = False) -> int:
         boundary_loss=max(0, expected - n_decoded),
     )
     print(json.dumps(d))
-    return 0 if d["boundary_loss"] == 0 and d["blocks"] > 0 else 1
+    # Exact equality, not just no-deficit: a misconfigured fake (e.g.
+    # AIRJAX_FAKE_SOAPY_C16 unset -> zero samples -> the all-zero
+    # CRC-passes-everywhere storm) decodes far MORE than expected and
+    # must fail the soak, not sneak past a deficit-only check.
+    ok = n_blocks > 0 and n_decoded == expected
+    return 0 if ok else 1
 
 
 def extended_boundary_stream(
@@ -319,7 +331,9 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     if args.sdr:
-        return sdr_soak(args.seconds, extended=args.extended)
+        return sdr_soak(
+            args.seconds, extended=args.extended, devices=args.devices
+        )
     if args.extended:
         return extended_soak(
             args.seconds, args.block, memcheck=args.memcheck,
