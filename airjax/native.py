@@ -99,6 +99,10 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_longlong),
         ]
+        lib.airjax_decode_chunk_extended_r2.restype = ctypes.c_longlong
+        lib.airjax_decode_chunk_extended_r2.argtypes = (
+            lib.airjax_decode_chunk_extended.argtypes
+        )
         lib.airjax_ring_create.restype = ctypes.c_void_p
         lib.airjax_ring_create.argtypes = [ctypes.c_longlong, ctypes.c_longlong]
         lib.airjax_ring_destroy.argtypes = [ctypes.c_void_p]
@@ -185,18 +189,20 @@ def decode_chunk(
     return hits, int(n_det.value)
 
 
-_EXT_KINDS = ("long", "df11", "short_ap", "long_ap", "df11_ic")
+_EXT_KINDS = ("long", "df11", "short_ap", "long_ap", "df11_ic", "long2")
 
 
 def decode_chunk_extended(
-    iq: np.ndarray, max_hits: int = 4096
+    iq: np.ndarray, max_hits: int = 4096, recover2: bool = False
 ) -> tuple[list[tuple[int, str, bytes, int]], int]:
     """Extended-mode scalar decode (native tier of the oracle chain).
 
     Returns (hits, n_detections) where hits are (offset, kind,
     frame_bytes, icao_ap) in scan order — the same shape as
     airjax.golden.decode_chunk_extended (short-frame kinds carry 7 frame
-    bytes, long kinds 14).
+    bytes, long kinds 14). recover2=True classifies unique-2-flip
+    repairs as kind 'long2' (pre-gate), mirroring
+    golden.decode_chunk_extended(recover2=True).
     """
     lib = get_lib()
     arr = np.ascontiguousarray(iq, dtype=np.int16)
@@ -206,7 +212,12 @@ def decode_chunk_extended(
     icao_ap = np.empty(max_hits, dtype=np.uint32)
     recovered = np.empty(max_hits, dtype=np.uint8)
     n_det = ctypes.c_longlong(0)
-    n = lib.airjax_decode_chunk_extended(
+    fn = (
+        lib.airjax_decode_chunk_extended_r2
+        if recover2
+        else lib.airjax_decode_chunk_extended
+    )
+    n = fn(
         _i16_ptr(arr),
         arr.shape[0],
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
@@ -220,7 +231,7 @@ def decode_chunk_extended(
     hits = []
     for i in range(int(n)):
         kind = _EXT_KINDS[int(kinds[i])]
-        nbytes = 14 if kind in ("long", "long_ap") else 7
+        nbytes = 14 if kind in ("long", "long2", "long_ap") else 7
         hits.append(
             (
                 int(offsets[i]),

@@ -215,10 +215,11 @@ static bool check_preamble_only(const uint32_t* m) {
   return true;
 }
 
-long long airjax_decode_chunk_extended(
+static long long decode_chunk_extended_impl(
     const int16_t* iq, long long n_samples, long long* offsets_out,
     uint8_t* kinds_out, uint8_t* packets_out, uint32_t* icao_ap_out,
-    uint8_t* recovered_out, long long max_hits, long long* n_detections) {
+    uint8_t* recovered_out, long long max_hits, long long* n_detections,
+    int recover2) {
   if (n_samples < 240) {
     if (n_detections) *n_detections = 0;
     return 0;
@@ -258,6 +259,23 @@ long long airjax_decode_chunk_extended(
             break;
           }
         }
+        if (kind == 0xFF && recover2) {
+          // Opt-in 2-flip repair (kind 5 = 'long2', pre-gate): the
+          // pairwise syndrome table is collision-free (min distance 6)
+          // so the first match is the unique one. O(88^2) per failed
+          // candidate — scalar oracle, not a hot path.
+          for (int j = 0; j < 88 && kind == 0xFF; ++j) {
+            for (int k2 = j + 1; k2 < 88; ++k2) {
+              if ((syndromes[j] ^ syndromes[k2]) == delta) {
+                bytes[j / 8] ^= (uint8_t)(1u << (7 - j % 8));
+                bytes[k2 / 8] ^= (uint8_t)(1u << (7 - k2 % 8));
+                kind = 5;
+                recovered = 2;
+                break;
+              }
+            }
+          }
+        }
       }
     } else {
       uint32_t calced = airjax_crc24(bytes, 4);
@@ -283,6 +301,26 @@ long long airjax_decode_chunk_extended(
   }
   if (n_detections) *n_detections = dets;
   return hits;
+}
+
+long long airjax_decode_chunk_extended(
+    const int16_t* iq, long long n_samples, long long* offsets_out,
+    uint8_t* kinds_out, uint8_t* packets_out, uint32_t* icao_ap_out,
+    uint8_t* recovered_out, long long max_hits, long long* n_detections) {
+  return decode_chunk_extended_impl(iq, n_samples, offsets_out, kinds_out,
+                                    packets_out, icao_ap_out, recovered_out,
+                                    max_hits, n_detections, 0);
+}
+
+// Opt-in 2-bit recovery variant (separate symbol: the base ABI stays
+// stable for existing callers).
+long long airjax_decode_chunk_extended_r2(
+    const int16_t* iq, long long n_samples, long long* offsets_out,
+    uint8_t* kinds_out, uint8_t* packets_out, uint32_t* icao_ap_out,
+    uint8_t* recovered_out, long long max_hits, long long* n_detections) {
+  return decode_chunk_extended_impl(iq, n_samples, offsets_out, kinds_out,
+                                    packets_out, icao_ap_out, recovered_out,
+                                    max_hits, n_detections, 1);
 }
 
 // ---------------------------------------------------------------------------

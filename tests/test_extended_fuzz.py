@@ -27,3 +27,11 @@ def _load_fuzzer():
 def test_extended_three_way_fuzz():
     fuzz = _load_fuzzer()
     assert fuzz.run(iters=60, seed=1234, chunk=4000) == 0
+
+
+def test_extended_three_way_fuzz_recover2():
+    """The opt-in 2-bit-recovery mode holds the same three-way contract:
+    device == golden == native, with unique-2-flip repairs classified
+    'long2' (pre-gate) identically by all tiers."""
+    fuzz = _load_fuzzer()
+    assert fuzz.run(iters=25, seed=77, chunk=4000, recover2=True) == 0

@@ -101,3 +101,21 @@ def test_runner_extended_recover2_stats():
     got0 = []
     s0 = run_stream(iter([iq]), got0.append, overlap=True, extended=True)
     assert len(got0) == 1 and s0.recovered2 == 0
+
+
+def test_native_tier_matches_golden_recover2():
+    """Native C++ recover2 == golden recover2 on a crafted capture
+    (repair classified 'long2', repaired bytes exact); default-mode
+    native output unchanged."""
+    from airjax import native
+
+    bad = _flip_bits(FRAME, [9, 55])
+    iq = synth.modulate([FRAME, bad], [500, 3000], N, seed=8)
+    g = golden.decode_chunk_extended(iq, recover2=True)
+    nh, _ = native.decode_chunk_extended(np.asarray(iq), recover2=True)
+    assert nh == g
+    by = {o: (k, p) for o, k, p, _ in nh}
+    assert by[3000] == ("long2", FRAME)
+    g0 = golden.decode_chunk_extended(iq)
+    n0, _ = native.decode_chunk_extended(np.asarray(iq))
+    assert n0 == g0 and 3000 not in {o for o, k, _, _ in n0 if k == "long"}

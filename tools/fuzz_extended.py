@@ -110,9 +110,12 @@ def random_capture(rng: np.random.Generator, chunk: int) -> np.ndarray:
     )
 
 
-def device_classified(iq: np.ndarray) -> list[tuple[int, str, bytes, int]]:
+def device_classified(
+    iq: np.ndarray, recover2: bool = False
+) -> list[tuple[int, str, bytes, int]]:
     """Jitted extended decode -> the oracle's (offset, kind, frame, icao_ap)
-    stream (same mapping as tests/test_extended_golden.py)."""
+    stream (same mapping as tests/test_extended_golden.py). recover2=True
+    classifies unique-2-flip repairs as 'long2' like the scalar tiers."""
     import jax
     import jax.numpy as jnp
 
@@ -121,14 +124,21 @@ def device_classified(iq: np.ndarray) -> list[tuple[int, str, bytes, int]]:
     n_off = len(iq) - 240
     if n_off <= 0:
         return []
-    out = jax.device_get(decode_iq_block_extended(jnp.asarray(iq), n_off, 256))
+    out = jax.device_get(
+        decode_iq_block_extended(jnp.asarray(iq), n_off, 256, recover2)
+    )
     hits = []
     for k in range(len(out["offsets"])):
         off = int(out["offsets"][k])
         if not out["valid"][k]:
             continue
         if out["good_long"][k]:
-            hits.append((off, "long", out["frames"][k].tobytes(), 0))
+            kind = (
+                "long2"
+                if recover2 and out["recovered2"][k]
+                else "long"
+            )
+            hits.append((off, kind, out["frames"][k].tobytes(), 0))
         elif out["good_df11"][k]:
             hits.append((off, "df11", out["frames_raw"][k].tobytes()[:7], 0))
         elif out["cand_df11_ic"][k]:
@@ -149,15 +159,17 @@ def device_classified(iq: np.ndarray) -> list[tuple[int, str, bytes, int]]:
     return hits
 
 
-def run(iters: int, seed: int, chunk: int) -> int:
+def run(iters: int, seed: int, chunk: int, recover2: bool = False) -> int:
     from airjax.native import decode_chunk_extended as native_decode
 
     rng = np.random.default_rng(seed)
     for i in range(iters):
         iq = random_capture(rng, chunk)
-        gold = golden.decode_chunk_extended(iq)
-        dev = device_classified(iq)
-        nat, _ = native_decode(iq, max_hits=max(4096, len(gold) + 64))
+        gold = golden.decode_chunk_extended(iq, recover2=recover2)
+        dev = device_classified(iq, recover2=recover2)
+        nat, _ = native_decode(
+            iq, max_hits=max(4096, len(gold) + 64), recover2=recover2
+        )
         if dev != gold or nat != gold:
             print(f"MISMATCH at iteration {i} (len={len(iq)})")
             bad = "device" if dev != gold else "native"
@@ -184,11 +196,16 @@ def main(argv=None) -> int:
         help="jax platform for the device tier (cpu = fast local XLA; "
         "pass 'axon,cpu' to fuzz against the real TPU)",
     )
+    p.add_argument(
+        "--recover2", action="store_true",
+        help="fuzz the opt-in 2-bit-recovery mode three-way "
+        "(device/golden/native all classify repairs as 'long2')",
+    )
     args = p.parse_args(argv)
     import jax
 
     jax.config.update("jax_platforms", args.platform)
-    return run(args.iters, args.seed, args.chunk)
+    return run(args.iters, args.seed, args.chunk, recover2=args.recover2)
 
 
 if __name__ == "__main__":
