@@ -171,10 +171,10 @@ def _cmd_adsb_inner(args) -> int:
             )
             return 2
 
-    if args.recover2 and args.batched:
+    if args.recover2 and args.batched and args.extended:
         print(
-            "error: --recover2 is a per-packet option (incompatible "
-            "with --batched)",
+            "error: --recover2 is unsupported with the EXTENDED batched "
+            "sink (drop --batched or --extended)",
             file=sys.stderr,
         )
         return 2
@@ -412,9 +412,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="also accept frames repaired by a unique DOUBLE bit-flip, "
         "gated on an already-validated ICAO (the stream's seen-set in "
         "parity mode, the acceptance cache in --extended mode) — yield "
-        "improvement beyond the reference's 1-flip recovery; per-packet "
-        "paths only (composes with --extended and --devices, not "
-        "--batched)",
+        "improvement beyond the reference's 1-flip recovery; composes "
+        "with --extended, --devices, and the parity --batched sink "
+        "(not the extended batched sink)",
     )
     adsb.add_argument(
         "--devices", type=int, default=None, metavar="N",

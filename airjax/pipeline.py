@@ -284,19 +284,22 @@ def decode_iq_block_extended(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_off", "capacity"))
+@functools.partial(
+    jax.jit, static_argnames=("n_off", "capacity", "recover2")
+)
 def decode_iq_block_with_fields(
-    iq: jnp.ndarray, n_off: int, capacity: int
+    iq: jnp.ndarray, n_off: int, capacity: int, recover2: bool = False
 ) -> dict[str, jnp.ndarray]:
     """decode_iq_block + batched protocol field extraction fused into the
     same device program: the (capacity,)-shaped field arrays ride the same
     host fetch as the candidate dict, so the online host path never parses
     frame bytes per packet (the reference's thread-3 consumer does,
     src/adsb.rs:149-167 via packet.rs:25-49). Fields of invalid slots are
-    garbage; consumers index only where `good`."""
+    garbage; consumers index only where `good`. recover2 adds the gated
+    2-bit repair class (`recovered2` key; the stream runner gates)."""
     from airjax.protocol.fields import extract_fields
 
-    out = decode_mags_block(magnitude_u16(iq), n_off, capacity)
+    out = decode_mags_block(magnitude_u16(iq), n_off, capacity, recover2)
     out["fields"] = extract_fields(out["frames"])
     return out
 

@@ -69,6 +69,39 @@ class StreamStats:
         }
 
 
+def _gate_recover2_batch(
+    idx: np.ndarray, icaos: np.ndarray, rec2: np.ndarray, seen: set
+) -> tuple[np.ndarray, int]:
+    """Vectorized recover2 acceptance over one block's validated rows.
+
+    `idx` selects the block's CRC-validated slots in ascending offset
+    order; `icaos`/`rec2` are the per-slot arrays. Reproduces the
+    per-packet gate exactly: a 2-flip repair is kept iff its ICAO was
+    seen in a clean/1-flip row earlier in the STREAM (the `seen` set,
+    mutated here) or earlier in THIS block. Returns (kept_idx,
+    n_accepted_repairs).
+    """
+    if len(idx) == 0:
+        return idx, 0
+    ic = np.asarray(icaos)[idx].astype(np.int64)
+    r2 = np.asarray(rec2)[idx].astype(bool)
+    clean_pos = np.nonzero(~r2)[0]
+    earlier_clean = np.zeros(len(ic), bool)
+    if len(clean_pos):
+        u, first = np.unique(ic[clean_pos], return_index=True)
+        first_pos = clean_pos[first]
+        j = np.minimum(np.searchsorted(u, ic), len(u) - 1)
+        earlier_clean = (u[j] == ic) & (first_pos[j] < np.arange(len(ic)))
+    if seen:
+        in_seen = np.isin(ic, np.fromiter(seen, np.int64, len(seen)))
+    else:
+        in_seen = np.zeros(len(ic), bool)
+    keep = ~r2 | in_seen | earlier_clean
+    if len(clean_pos):
+        seen.update(np.unique(ic[clean_pos]).tolist())
+    return idx[keep], int(np.sum(r2 & keep))
+
+
 def run_stream(
     source: Iterator[np.ndarray],
     on_packet: Callable[[AdsbPacket], None],
@@ -164,13 +197,18 @@ def run_stream(
     global_base = -halo
     pending = np.zeros((0, 2), dtype=np.int16)
 
-    if recover2 and (batch_fn is not None or ext_batch_fn is not None):
-        raise ValueError("recover2 is a per-packet option (no batched sinks)")
+    if recover2 and ext_batch_fn is not None:
+        raise ValueError(
+            "recover2 is unsupported with the extended batched sink"
+        )
     if extended and recover2:
         def decode_fn(ext, n_off, capacity):
             return decode_iq_block_extended(ext, n_off, capacity, recover2=True)
     elif extended:
         decode_fn = _decode_eb if ext_batch_fn is not None else decode_iq_block_extended
+    elif batch_fn is not None and recover2:
+        def decode_fn(ext, n_off, capacity):
+            return _decode_b(ext, n_off, capacity, recover2=True)
     elif recover2:
         from airjax.pipeline import decode_iq_block_r2
 
@@ -239,7 +277,13 @@ def run_stream(
             good = np.asarray(out["good"])
             if overlap:
                 good = good & (np.asarray(out["offsets"]) + base >= 0)
-            emitted = batch_fn(out["fields"], np.nonzero(good)[0], now)
+            idx = np.nonzero(good)[0]
+            if recover2:
+                idx, n_r2 = _gate_recover2_batch(
+                    idx, out["fields"]["icao"], out["recovered2"], seen_icaos
+                )
+                stats.recovered2 += n_r2
+            emitted = batch_fn(out["fields"], idx, now)
         else:
             for k in np.nonzero(out["good"])[0]:
                 local = int(out["offsets"][k])
@@ -428,8 +472,10 @@ def run_stream_sharded(
     ext_batch_fn = (
         getattr(on_packet, "on_extended_block", None) if extended else None
     )
-    if recover2 and (batch_fn is not None or ext_batch_fn is not None):
-        raise ValueError("recover2 is a per-packet option (no batched sinks)")
+    if recover2 and ext_batch_fn is not None:
+        raise ValueError(
+            "recover2 is unsupported with the extended batched sink"
+        )
     if extended:
         from airjax.extended import assemble_extended
         from airjax.track.icao_cache import IcaoCache
@@ -563,7 +609,14 @@ def run_stream_sharded(
                 on_packet(pkt)
                 emitted += 1
         elif batch_fn is not None:
-            emitted = batch_fn(rows["fields"], np.nonzero(ok)[0], now)
+            idx = np.nonzero(ok)[0]
+            if recover2:
+                idx, n_r2 = _gate_recover2_batch(
+                    idx, rows["fields"]["icao"], rows["recovered2"],
+                    seen_icaos,
+                )
+                stats.recovered2 += n_r2
+            emitted = batch_fn(rows["fields"], idx, now)
         else:
             for k_ in np.nonzero(ok)[0]:
                 fb = np.asarray(rows["frames"][k_]).tobytes()

@@ -111,13 +111,11 @@ def test_runner_gating():
     assert stats_off.recovered2 == 0
 
 
-def test_runner_rejects_batched_sinks():
+def test_runner_rejects_extended_batched_sink():
     import pytest
 
-    from airjax.track.batch import BatchTracker, ExtendedBatchTracker
+    from airjax.track.batch import ExtendedBatchTracker
 
-    with pytest.raises(ValueError):
-        run_stream(iter(()), BatchTracker(), recover2=True)
     with pytest.raises(ValueError):
         run_stream(
             iter(()), ExtendedBatchTracker(), extended=True, recover2=True
@@ -127,19 +125,107 @@ def test_runner_rejects_batched_sinks():
 def test_cli_flag_combos(capsys):
     from airjax.cli import main
 
-    # Batched sinks stay incompatible; stream mode never batches, so
-    # only web/interactive modes can trip it.
+    # The extended BATCHED sink stays incompatible (only web/interactive
+    # modes can batch).
     assert main(
-        ["adsb", "--synthetic", "1", "--recover2", "--batched", "-m", "web"]
+        ["adsb", "--synthetic", "1", "--recover2", "--batched",
+         "--extended", "-m", "web"]
     ) == 2
     assert main(["adsb", "--synthetic", "2", "--recover2"]) == 0
     out = capsys.readouterr().out
     assert "'recovered2': 0" in out
-    # Composes with --extended and --devices (per-packet paths).
+    # Composes with --extended and --devices (and the parity batched
+    # sink, tested through run_stream below).
     assert main(["adsb", "--synthetic", "2", "--recover2", "--extended"]) == 0
     assert main(
         ["adsb", "--synthetic", "2", "--recover2", "--devices", "2"]
     ) == 0
+
+
+def _r2_stream_iq(n_total=200_000):
+    other = synth.make_df17(0x123456, synth.make_id_me("STRANGER"))
+    return synth.modulate(
+        [
+            FRAME,
+            _flip_bits(FRAME, [12, 40]),  # accepted (ICAO seen clean)
+            _flip_bits(other, [12, 40]),  # rejected (never seen clean)
+            FRAME,
+        ],
+        [500, 3000, 6000, 150_000],
+        n_total,
+        seed=6,
+    )
+
+
+def test_batched_sink_recover2_matches_per_packet():
+    """The parity BATCHED sink under recover2 (vectorized gate in the
+    runner) lands the same tracker state and accepted-repair count as
+    the per-packet path — stranger suppression included."""
+    from airjax.track.aircraft import handle_aircraft_update
+    from airjax.track.batch import BatchTracker
+
+    iq = _r2_stream_iq()
+
+    def blocks():
+        for i in range(0, len(iq), 20000):
+            yield iq[i : i + 20000]
+
+    per = {}
+    got = []
+
+    def per_packet(pkt):
+        got.append(pkt)
+        handle_aircraft_update(pkt, per)
+
+    s1 = run_stream(blocks(), per_packet, overlap=True, recover2=True)
+    bt = BatchTracker()
+    s2 = run_stream(blocks(), bt, overlap=True, recover2=True)
+    assert s1.recovered2 == s2.recovered2 == 1
+    assert s1.good == s2.good == 3  # stranger suppressed in both
+    assert set(per) == set(bt.aircrafts) == {ICAO}
+    assert (
+        per[ICAO].get_callsign() == bt.aircrafts[ICAO].get_callsign()
+    )
+
+
+def test_batched_sink_recover2_sharded(mesh_or_none=None):
+    from airjax.parallel.mesh import make_mesh
+    from airjax.runner import run_stream_sharded
+    from airjax.track.batch import BatchTracker
+
+    iq = _r2_stream_iq()
+
+    def blocks():
+        for i in range(0, len(iq), 20000):
+            yield iq[i : i + 20000]
+
+    bt1, bt2 = BatchTracker(), BatchTracker()
+    s1 = run_stream(blocks(), bt1, overlap=True, recover2=True)
+    s2 = run_stream_sharded(
+        blocks(), bt2, mesh=make_mesh(8), recover2=True
+    )
+    assert s1.recovered2 == s2.recovered2 == 1
+    assert s1.good == s2.good == 3
+    assert set(bt1.aircrafts) == set(bt2.aircrafts) == {ICAO}
+
+
+def test_gate_recover2_batch_within_block_order():
+    """A repair BEFORE its aircraft's first clean row in the same block
+    is rejected (the per-packet gate is position-sensitive)."""
+    from airjax.runner import _gate_recover2_batch
+
+    idx = np.arange(3)
+    icaos = np.array([ICAO, ICAO, ICAO])
+    rec2 = np.array([True, False, True])  # repair first, clean, repair
+    seen: set = set()
+    kept, n_r2 = _gate_recover2_batch(idx, icaos, rec2, seen)
+    assert kept.tolist() == [1, 2] and n_r2 == 1
+    assert ICAO in seen
+    # Next block: the stream-seen set accepts a lone repair.
+    kept2, n2 = _gate_recover2_batch(
+        np.arange(1), np.array([ICAO]), np.array([True]), seen
+    )
+    assert kept2.tolist() == [0] and n2 == 1
 
 
 def test_sharded_runner_recover2_equality():
