@@ -171,14 +171,6 @@ def _cmd_adsb_inner(args) -> int:
             )
             return 2
 
-    if args.recover2 and args.batched and args.extended:
-        print(
-            "error: --recover2 is unsupported with the EXTENDED batched "
-            "sink (drop --batched or --extended)",
-            file=sys.stderr,
-        )
-        return 2
-
     def _run(source, sink, stats=None):
         """Dispatch to the single-device or the mesh-sharded stream
         runner (--devices N; VERDICT r4 item 1)."""
@@ -413,8 +405,7 @@ def build_parser() -> argparse.ArgumentParser:
         "gated on an already-validated ICAO (the stream's seen-set in "
         "parity mode, the acceptance cache in --extended mode) — yield "
         "improvement beyond the reference's 1-flip recovery; composes "
-        "with --extended, --devices, and the parity --batched sink "
-        "(not the extended batched sink)",
+        "with --extended, --batched, and --devices",
     )
     adsb.add_argument(
         "--devices", type=int, default=None, metavar="N",

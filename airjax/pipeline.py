@@ -304,9 +304,11 @@ def decode_iq_block_with_fields(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("n_off", "capacity"))
+@functools.partial(
+    jax.jit, static_argnames=("n_off", "capacity", "recover2")
+)
 def decode_iq_block_extended_with_fields(
-    iq: jnp.ndarray, n_off: int, capacity: int
+    iq: jnp.ndarray, n_off: int, capacity: int, recover2: bool = False
 ) -> dict[str, jnp.ndarray]:
     """Extended decode + batched field extraction in one device program
     (the extended-mode analogue of decode_iq_block_with_fields).
@@ -318,7 +320,9 @@ def decode_iq_block_extended_with_fields(
     from airjax.protocol.fields import extract_fields
     from airjax.protocol.shortframe import extract_short_fields_from_raw
 
-    out = decode_mags_block_extended(magnitude_u16(iq), n_off, capacity)
+    out = decode_mags_block_extended(
+        magnitude_u16(iq), n_off, capacity, recover2=recover2
+    )
     out["fields"] = extract_fields(out["frames"])
     out["short_fields"] = extract_short_fields_from_raw(out["frames_raw"])
     return out

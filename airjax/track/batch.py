@@ -591,7 +591,15 @@ class ExtendedBatchTracker(BatchTracker):
 
         good_long = np.asarray(out["good_long"])
         good_df11 = np.asarray(out["good_df11"])
-        k_pass1 = np.nonzero(good_long | good_df11)[0]
+        # 2-flip-repaired frames (recover2 mode) never SEED the cache;
+        # they are gated on it below, mirroring assemble_extended's
+        # pass 1.5 exactly.
+        rec2 = (
+            np.asarray(out["recovered2"])
+            if "recovered2" in out
+            else np.zeros_like(good_long)
+        )
+        k_pass1 = np.nonzero((good_long & ~rec2) | good_df11)[0]
         fields = out["fields"]
         frames = np.asarray(out["frames"])
         frames_raw = np.asarray(out["frames_raw"])
@@ -611,6 +619,26 @@ class ExtendedBatchTracker(BatchTracker):
         # visibility as assemble_extended: pass 2 gating sees the whole
         # block's validated addresses).
         cache.add_many(icao1.tolist(), now)
+
+        # Pass 1.5 (recover2): cache-gated repairs join the applied
+        # pass-1 rows in offset order; rejected repairs vanish. The
+        # repair class is rare, so the per-row contains() loop is cheap.
+        k_rec2 = np.nonzero(good_long & rec2)[0]
+        if len(k_rec2):
+            ic_r2 = np.asarray(fields["icao"])[k_rec2]
+            acc = np.fromiter(
+                (cache.contains(int(i), now) for i in ic_r2),
+                bool,
+                len(ic_r2),
+            )
+            if np.any(acc):
+                k_pass1 = np.sort(np.concatenate([k_pass1, k_rec2[acc]]))
+                gl1 = good_long[k_pass1]
+                icao1 = np.where(
+                    gl1,
+                    np.asarray(fields["icao"])[k_pass1],
+                    icao_from_raw(frames_raw, k_pass1),
+                )
 
         simple, complex_pkts = split_ap_candidates(
             out, now, cache, min_offset=min_offset

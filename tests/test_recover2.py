@@ -111,31 +111,52 @@ def test_runner_gating():
     assert stats_off.recovered2 == 0
 
 
-def test_runner_rejects_extended_batched_sink():
-    import pytest
-
+def test_extended_batched_sink_recover2_matches_per_packet():
+    """The EXTENDED batched sink under recover2: repairs gate on the
+    acceptance cache inside on_extended_block (never seeding it) and the
+    tracker state matches the per-packet path."""
+    from airjax.extended import handle_extended_update
+    from airjax.runner import run_stream
     from airjax.track.batch import ExtendedBatchTracker
 
-    with pytest.raises(ValueError):
-        run_stream(
-            iter(()), ExtendedBatchTracker(), extended=True, recover2=True
-        )
+    other = synth.make_df17(0x123456, synth.make_id_me("STRANGER"))
+    iq = synth.modulate(
+        [
+            FRAME,
+            _flip_bits(FRAME, [12, 40]),  # accepted (cached ICAO)
+            _flip_bits(other, [12, 40]),  # rejected (never seen clean)
+        ],
+        [500, 3000, 6000],
+        20000,
+        seed=6,
+    )
+    per = {}
+    got = []
+
+    def per_packet(pkt):
+        got.append(pkt)
+        handle_extended_update(pkt, per)
+
+    run_stream(iter([iq]), per_packet, overlap=True, extended=True,
+               recover2=True)
+    bt = ExtendedBatchTracker()
+    run_stream(iter([iq]), bt, overlap=True, extended=True, recover2=True)
+    assert [p.icao for p in got] == [ICAO, ICAO]  # stranger suppressed
+    assert set(per) == set(bt.aircrafts) == {ICAO}
+    assert bt.n_messages == 2
+    assert (
+        per[ICAO].get_callsign() == bt.aircrafts[ICAO].get_callsign()
+    )
 
 
 def test_cli_flag_combos(capsys):
     from airjax.cli import main
 
-    # The extended BATCHED sink stays incompatible (only web/interactive
-    # modes can batch).
-    assert main(
-        ["adsb", "--synthetic", "1", "--recover2", "--batched",
-         "--extended", "-m", "web"]
-    ) == 2
     assert main(["adsb", "--synthetic", "2", "--recover2"]) == 0
     out = capsys.readouterr().out
     assert "'recovered2': 0" in out
-    # Composes with --extended and --devices (and the parity batched
-    # sink, tested through run_stream below).
+    # Composes with --extended and --devices (and both batched sinks,
+    # tested through run_stream elsewhere in this file).
     assert main(["adsb", "--synthetic", "2", "--recover2", "--extended"]) == 0
     assert main(
         ["adsb", "--synthetic", "2", "--recover2", "--devices", "2"]
