@@ -105,3 +105,21 @@ def test_wellington_cli_playback_jsonl(wellington_c16, tmp_path, capsys):
     assert EVEN.hex() in hexes and ODD.hex() in hexes
     alts = [r.get("altitude_ft") for r in records]
     assert 1425 in alts and 1450 in alts  # aircraft.rs:224-249 field dump
+
+
+def test_wellington_cli_playback_devices(wellington_c16, tmp_path, capsys):
+    """The antenna-real vector through the SHARDED product command
+    (`airjax adsb -p ... --devices 2`): same decoded frames."""
+    from airjax.cli import main
+
+    out = tmp_path / "wlg_sharded.jsonl"
+    rc = main(
+        [
+            "adsb", "-p", str(wellington_c16), "--fast",
+            "--devices", "2", "--jsonl", str(out),
+        ]
+    )
+    assert rc == 0
+    records = [json.loads(l) for l in out.read_text().splitlines()]
+    hexes = [r["hex"] for r in records]
+    assert EVEN.hex() in hexes and ODD.hex() in hexes
