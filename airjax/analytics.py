@@ -72,7 +72,9 @@ def analyze_capture(
         from airjax.parallel.halo import decode_capture_sharded
         from airjax.parallel.mesh import make_mesh
 
-        hits, stats = decode_capture_sharded(iq, make_mesh(devices))
+        hits, stats = decode_capture_sharded(
+            iq, make_mesh(devices), capacity_per_shard=cfg.max_candidates
+        )
     else:
         hits, stats = decode_capture_overlap(iq, cfg)
     if not hits:
@@ -188,15 +190,14 @@ def analyze_capture_extended(
     tracker would have shown at that offset), velocities, squawks and
     altitudes. Returns ({icao: ExtendedTrack}, stats).
     """
-    import jax as _jax
-    from jax.sharding import Mesh
-
     from airjax.extended import handle_extended_update
     from airjax.parallel.halo import decode_capture_sharded_extended
-    from airjax.parallel.mesh import TIME_AXIS
+    from airjax.parallel.mesh import make_mesh
     from airjax.protocol.packet import AdsbPacket, AircraftVelocityMsg
 
-    mesh = Mesh(np.asarray(_jax.devices()[: devices or 1]), (TIME_AXIS,))
+    # make_mesh raises on devices > available (matching the parity
+    # path) instead of silently truncating to fewer chips.
+    mesh = make_mesh(devices or 1)
     packets, stats = decode_capture_sharded_extended(
         iq, mesh, capacity_per_shard=capacity_per_shard, now=0.0
     )

@@ -437,24 +437,27 @@ def assemble_elm(
     return b"".join(bytes.fromhex(segments[str(i)]) for i in nds)
 
 
-def interpret_elm(payload: bytes) -> dict:
+def interpret_elm(payload: bytes, gicb_supported=None) -> dict:
     """Comm-D ELM content interpretation (VERDICT r4 item 4; capability
     beyond /root/reference/src/adsb/msgs.rs:32-34, which stores raw
     bytes). The downlink announces no payload type, so interpretation is
     heuristic: register-shaped payloads (a GICB extraction delivered via
     ELM instead of Comm-B) run through the same BDS inference machinery
     as DF20/21 MB fields (airjax.protocol.commb.infer_bds) on the first
-    7 bytes.
+    7 bytes — including the per-aircraft capability pruning the Comm-B
+    path applies (`gicb_supported`: the aircraft's BDS 1,7 report, so an
+    ambiguity the capability already resolved decodes here too).
 
     Returns {"hex": full payload hex, "segments": segment count,
     "bds": sorted candidate register list (may be empty —
     non-register payload), "decoded": the decoded dict when the
     inference is unambiguous (sole candidate)}.
     """
-    from airjax.protocol.commb import infer_bds
+    from airjax.protocol.commb import infer_bds, prune_by_capability
 
     n_seg = (len(payload) + 9) // 10
     cands = infer_bds(payload[:7]) if len(payload) >= 7 else {}
+    cands = prune_by_capability(cands, gicb_supported)
     out: dict = {
         "hex": payload.hex(),
         "segments": n_seg,
@@ -491,7 +494,9 @@ def handle_extended_update(
         # assemble_elm): latest prefix wins, like every other field.
         payload = assemble_elm(aircraft.commd_segments)
         if payload is not None:
-            aircraft.commd_elm = interpret_elm(payload)
+            aircraft.commd_elm = interpret_elm(
+                payload, gicb_supported=aircraft.gicb_supported
+            )
         return
     if isinstance(packet, AcasReply):
         if packet.altitude_ft is not None:

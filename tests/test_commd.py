@@ -263,3 +263,41 @@ def test_full_chain_multisegment_elm_interpretation():
     assert elm == want
     assert elm["segments"] == 2
     assert elm["bds"] == ["2,0"] and elm["decoded"] == {"value": "CHAINELM"}
+
+
+def test_elm_interpretation_uses_gicb_capability():
+    """The per-aircraft BDS 1,7 capability prunes ambiguous ELM register
+    inference exactly like the Comm-B path (review r5): the classic
+    5,0-vs-6,0 payload resolves once the aircraft announced it does not
+    service 6,0."""
+    from airjax.extended import interpret_elm
+    from airjax.protocol import commb
+
+    payload = bytes.fromhex("e21b371b29fc99") + bytes(3)  # 5,0 AND 6,0
+    amb = interpret_elm(payload)
+    assert {"5,0", "6,0"} <= set(amb["bds"]) and "decoded" not in amb
+
+    resolved = interpret_elm(payload, gicb_supported=["2,0", "4,0", "5,0"])
+    assert resolved["bds"] == ["5,0"]
+    assert "decoded" in resolved
+
+    # Through the tracker: capability first (DF20 BDS 1,7), then the ELM.
+    from airjax.protocol.packet import SurveillanceReply
+
+    from tests.test_commb import make_bds17
+
+    aircrafts = {}
+    d17 = commb.infer_bds(make_bds17(("2,0", "4,0", "5,0")))
+    handle_extended_update(
+        SurveillanceReply(
+            df=20, icao=ICAO, flight_status=0, altitude_ft=None,
+            squawk=None, time_processed=1.0, bds=d17,
+        ),
+        aircrafts,
+    )
+    assert aircrafts[ICAO].gicb_supported == ["2,0", "4,0", "5,0"]
+    handle_extended_update(
+        CommDReply(icao=ICAO, ke=1, nd=0, md=payload, time_processed=2.0),
+        aircrafts,
+    )
+    assert aircrafts[ICAO].commd_elm["bds"] == ["5,0"]

@@ -97,9 +97,15 @@ def main():
 
             stage = {"upload": 0.0, "step": 0.0, "fetch": 0.0, "walk": 0.0}
             best_total = None
+            on_cpu = jax.devices()[0].platform == "cpu"
             for _ in range(args.repeats):
                 t0 = time.perf_counter()
                 iq_dev = jax.block_until_ready(jax.device_put(arr, sharding))
+                if not on_cpu:
+                    # axon's block_until_ready does not reliably block
+                    # (CLAUDE.md); force a real sync with a scalar fetch
+                    # so the transfer cost lands in `upload`, not `step`.
+                    int(jnp.sum(iq_dev[0]))
                 t1 = time.perf_counter()
                 out = step(iq_dev)
                 scal_keys = (

@@ -124,7 +124,12 @@ def _decode_recover2(iq, true_frame: bytes) -> tuple[set, int]:
             seen.add(icao)
         if fb == true_frame:
             got.add(int(out["offsets"][k]))
-        else:
+        elif bool(out["recovered2"][k]):
+            # Only a GATED 2-flip repair emitting wrong bytes counts as
+            # a recover2 false accept; a plain CRC/1-flip noise alias is
+            # emitted by the standard path too and must not be
+            # misattributed to the repair (it would spuriously trip the
+            # zero-false-accepts assert).
             bad += 1
     return got, bad
 
