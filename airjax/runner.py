@@ -280,7 +280,13 @@ def run_stream(
         elif batch_fn is not None:
             good = np.asarray(out["good"])
             if overlap:
-                good = good & (np.asarray(out["offsets"]) + base >= 0)
+                # int64: the stream base exceeds 2^31 after ~18 min of
+                # free-running decode, and numpy refuses to add a large
+                # Python int to the int32 offsets (OverflowError — the
+                # round-5 600 s sharded soak crashed exactly here).
+                good = good & (
+                    np.asarray(out["offsets"], np.int64) + base >= 0
+                )
             idx = np.nonzero(good)[0]
             if recover2:
                 idx, n_r2 = _gate_recover2_batch(
@@ -567,7 +573,10 @@ def run_stream_sharded(
             n = int(scal[count_key])
             rows = _fetch_rows(out_dev, n)
         t_apply = time.perf_counter()
-        offs = np.asarray(rows["offsets"])
+        # int64: the stream base exceeds 2^31 after ~2.1 G samples and
+        # numpy refuses Python-int + int32-array then (OverflowError —
+        # the 600 s free-running soak crashed exactly here).
+        offs = np.asarray(rows["offsets"], dtype=np.int64)
         # Stream-validity: skip the padded head of the very first step
         # (base < 0) and, on the padded tail step, offsets whose window
         # ran past the true stream end.
