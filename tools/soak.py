@@ -84,7 +84,9 @@ class MemWatch:
         }
 
 
-def boundary_stream(block: int, stop_flag: dict, seed: int = 0):
+def boundary_stream(
+    block: int, stop_flag: dict, seed: int = 0, corrupt_every: int = 0
+):
     """Endless blocks; each carries a mid-block frame plus a frame whose
     head sits in this block and whose tail crosses into the next one.
 
@@ -92,14 +94,26 @@ def boundary_stream(block: int, stop_flag: dict, seed: int = 0):
     offset block-120 (straddling the b/b+1 boundary; its 120-sample tail
     is stitched into the head of block b+1). Expected decodes after B
     blocks: 2B - 1 (the final straddler never completes).
+
+    corrupt_every=N (recover2 soak): every Nth block's MID frame (b>=1,
+    b%N==0) carries a 2-bit-corrupted transmission — undecodable by the
+    parity pipeline, repairable by the gated 2-flip recovery (the ICAO
+    is seen clean from block 0 on, so every repair is accepted). The
+    expected total stays 2B-1 and the repair count is countable.
     """
     frame = synth.make_df17(0x7C6B30, synth.make_id_me("SOAK"))
+    corrupt = synth.flip_bit(synth.flip_bit(frame, 21), 69)
     window = 240
     tail = None
     b = 0
     while not stop_flag.get("stop"):
+        mid = (
+            corrupt
+            if corrupt_every and b >= 1 and b % corrupt_every == 0
+            else frame
+        )
         seg = synth.modulate(
-            [frame, frame], [2000, block - 120], block + window, seed=seed + b
+            [mid, frame], [2000, block - 120], block + window, seed=seed + b
         )
         out = seg[:block].copy()
         if tail is not None:
@@ -206,12 +220,16 @@ def _runner(devices: int | None):
     if devices is None:
         return run_stream
 
-    def sharded(source, sink, overlap=True, extended=False, stats=None):
+    def sharded(
+        source, sink, overlap=True, extended=False, stats=None,
+        recover2=False,
+    ):
         from airjax.runner import run_stream_sharded
 
         assert overlap, "sharded runner is always overlap-save"
         return run_stream_sharded(
-            source, sink, n_devices=devices, extended=extended, stats=stats
+            source, sink, n_devices=devices, extended=extended, stats=stats,
+            recover2=recover2,
         )
 
     return sharded
@@ -312,6 +330,12 @@ def main(argv=None) -> int:
         help="extended soak: tracker eviction window in seconds",
     )
     p.add_argument(
+        "--recover2", action="store_true",
+        help="parity soak: every 3rd block's mid frame is 2-bit "
+        "corrupted and must come back through the GATED repair "
+        "(exact recovered2 accounting)",
+    )
+    p.add_argument(
         "--devices", type=int, default=None, metavar="N",
         help="soak the SHARDED streaming runner over N mesh shards "
         "(the adsb --devices N product path); on CPU combine with "
@@ -350,20 +374,27 @@ def main(argv=None) -> int:
         if time.time() - t0 > args.seconds:
             stop["stop"] = True
 
+    corrupt_every = 3 if args.recover2 else 0
+
     def timed_stream():
-        for blk in boundary_stream(args.block, stop):
+        for blk in boundary_stream(
+            args.block, stop, corrupt_every=corrupt_every
+        ):
             if time.time() - t0 > args.seconds:
                 return
             yield blk
 
-    stats = _runner(args.devices)(timed_stream(), on_packet, overlap=True)
+    stats = _runner(args.devices)(
+        timed_stream(), on_packet, overlap=True, recover2=args.recover2
+    )
     d = stats.as_dict()
     if args.devices is None:
-        expected = 2 * d["blocks"] - 1  # final straddler never completes
+        n_blocks = d["blocks"]
     else:
         # Sharded runner: stats.blocks counts steps; derive the source-
         # block count from delivered samples.
-        expected = 2 * (d["samples"] // args.block) - 1
+        n_blocks = d["samples"] // args.block
+    expected = 2 * n_blocks - 1  # final straddler never completes
     d.update(
         seconds=round(time.time() - t0, 1),
         frames_decoded=len(frames_seen),
@@ -371,6 +402,13 @@ def main(argv=None) -> int:
         boundary_loss=max(0, expected - len(frames_seen)),
     )
     ok = d["boundary_loss"] == 0
+    if args.recover2:
+        # Every corrupted mid frame (blocks b>=1, b%3==0) must have come
+        # back through the gated repair — an exact count, so a silently
+        # ungated or unrepaired frame fails the soak either way.
+        d["recover2_expected"] = (n_blocks - 1) // 3 if n_blocks else 0
+        d["recover2_ok"] = d["recovered2"] == d["recover2_expected"]
+        ok = ok and d["recover2_ok"]
     if mem is not None:
         d.update(mem.finish())
         d["regrow_ok"] = d["overflow_blocks"] == 0
