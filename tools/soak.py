@@ -182,7 +182,8 @@ def sdr_soak(
 
 
 def extended_boundary_stream(
-    block: int, stop_flag: dict, seed: int = 0, rotate: int = 0
+    block: int, stop_flag: dict, seed: int = 0, rotate: int = 0,
+    corrupt_every: int = 0,
 ):
     """Extended-mode variant of boundary_stream: per block a mid-block
     DF17, a mid-block DF11 all-call (short-frame class) and a DF17
@@ -190,7 +191,12 @@ def extended_boundary_stream(
 
     With rotate=N, each block's DF17s use ICAO 0x7C0000 + (b mod N) —
     an endless parade of distinct aircraft, so an evicting tracker must
-    stay bounded (the no-tracker-growth memcheck assertion)."""
+    stay bounded (the no-tracker-growth memcheck assertion).
+
+    corrupt_every=M (recover2 soak): every Mth block's MID DF17 (b>=1)
+    transmits with 2 flipped bits — only the gated repair recovers it
+    (the acceptance cache holds its ICAO continuously), so the expected
+    total stays 3B-1 iff the repair path works at scale."""
     from airjax.protocol import shortframe
 
     df11 = shortframe.make_df11(0x40621D)
@@ -200,8 +206,13 @@ def extended_boundary_stream(
     while not stop_flag.get("stop"):
         icao = 0x7C0000 + (b % rotate) if rotate else 0x7C6B30
         df17 = synth.make_df17(icao, synth.make_id_me("SOAKEXT"))
+        mid = (
+            synth.flip_bit(synth.flip_bit(df17, 21), 69)
+            if corrupt_every and b >= 1 and b % corrupt_every == 0
+            else df17
+        )
         seg = synth.modulate(
-            [df17, df11, df17],
+            [mid, df11, df17],
             [2000, 6000, block - 120],
             block + window,
             seed=seed + b,
@@ -242,6 +253,7 @@ def extended_soak(
     rotate: int = 0,
     evict: float | None = None,
     devices: int | None = None,
+    recover2: bool = False,
 ) -> int:
     """Soak the extended-mode BATCHED host path (ExtendedBatchTracker ->
     on_extended_block): continuous stream, zero boundary loss, tracker
@@ -256,12 +268,17 @@ def extended_soak(
     mem = MemWatch() if memcheck else None
 
     def timed_stream():
-        for blk in extended_boundary_stream(block, stop, rotate=rotate):
+        for blk in extended_boundary_stream(
+            block, stop, rotate=rotate,
+            corrupt_every=3 if recover2 else 0,
+        ):
             if time.time() - t0 > seconds:
                 return
             yield blk
 
-    stats = _runner(devices)(timed_stream(), bt, overlap=True, extended=True)
+    stats = _runner(devices)(
+        timed_stream(), bt, overlap=True, extended=True, recover2=recover2
+    )
     d = stats.as_dict()
     if devices is None:
         expected = 3 * d["blocks"] - 1  # final straddler never completes
@@ -359,9 +376,18 @@ def main(argv=None) -> int:
             args.seconds, extended=args.extended, devices=args.devices
         )
     if args.extended:
+        if args.recover2 and args.rotate:
+            # A rotating fleet's corrupted mid frame belongs to an ICAO
+            # whose first CLEAN sighting (its own straddler) decodes one
+            # block later — the gate rightly rejects it and the exact
+            # 3B-1 accounting no longer holds.
+            print("error: --recover2 soak is incompatible with --rotate",
+                  file=sys.stderr)
+            return 2
         return extended_soak(
             args.seconds, args.block, memcheck=args.memcheck,
             rotate=args.rotate, evict=args.evict, devices=args.devices,
+            recover2=args.recover2,
         )
 
     mem = MemWatch() if args.memcheck else None
